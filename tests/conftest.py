@@ -1,0 +1,21 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+sharding/multi-chip tests run without TPU hardware (SURVEY.md §4: the 'fake
+backend' strategy). Must run before jax is imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/Data"
+
+
+@pytest.fixture(scope="session")
+def reference_data():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("reference Data/ not available")
+    return REFERENCE_DATA
