@@ -1,0 +1,62 @@
+"""Primary ray generation (reference: Src/CUDA/Pathtracer.cu kernel_generate
+:122-139 + Src/CUDA/Camera.h camera_generate_ray:20-62).
+
+One lane per pixel in the wave: reconstruction-filter jitter (box/tent/
+gaussian), thin-lens aperture sampling, rays in world space from the rotated
+view pyramid. Matches the reference math exactly: the focal point is
+`focal_distance * normalize(pyramid_direction)` relative to the camera, the
+lens offset lives in the (unit) x/y axis plane, and aperture_radius == 0
+degenerates to a pinhole.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu.config import ReconstructionFilter
+from gpu_raytracer_tpu.ops import rng
+from gpu_raytracer_tpu.ops.sampling import normalize, sample_disk, sample_gaussian_pair, sample_tent
+
+
+def generate_primary_rays(camera: dict, pixel_index: jnp.ndarray, width: int,
+                          sample_index, recon_filter: ReconstructionFilter,
+                          seed: int = 0, jitter_override=None):
+    """pixel_index: (R,) int32 -> (ray_o (R,3), ray_d (R,3)).
+
+    `jitter_override`: optional (2,) array replacing the per-pixel filter
+    jitter — used by the SVGF/TAA path, which jitters the whole frame by a
+    Halton point instead (reference Camera.h:26-29).
+    """
+    x = (pixel_index % width).astype(jnp.float32)
+    y = (pixel_index // width).astype(jnp.float32)
+
+    if jitter_override is not None:
+        jx = jnp.broadcast_to(jitter_override[0], x.shape)
+        jy = jnp.broadcast_to(jitter_override[1], y.shape)
+    else:
+        u1 = rng.random_float(2 * rng.SampleDimension.FILTER, pixel_index, 0, sample_index, seed)
+        u2 = rng.random_float(2 * rng.SampleDimension.FILTER + 1, pixel_index, 0, sample_index, seed)
+        if recon_filter == ReconstructionFilter.BOX:
+            jx, jy = u1, u2
+        elif recon_filter == ReconstructionFilter.TENT:
+            jx = sample_tent(u1)
+            jy = sample_tent(u2)
+        else:  # GAUSSIAN (reference Camera.h:41-44)
+            gx, gy = sample_gaussian_pair(u1, u2)
+            jx = 0.5 + 0.5 * gx
+            jy = 0.5 + 0.5 * gy
+
+    pyramid_dir = (camera["bottom_left_corner"]
+                   + (x + jx)[:, None] * camera["x_axis"]
+                   + (y + jy)[:, None] * camera["y_axis"])
+    focal_point = camera["focal_distance"] * normalize(pyramid_dir)
+
+    a1 = rng.random_float(2 * rng.SampleDimension.APERTURE, pixel_index, 0, sample_index, seed)
+    a2 = rng.random_float(2 * rng.SampleDimension.APERTURE + 1, pixel_index, 0, sample_index, seed)
+    lx, ly = sample_disk(a1, a2)
+    offset = camera["aperture_radius"] * (lx[:, None] * camera["x_axis"]
+                                          + ly[:, None] * camera["y_axis"])
+
+    ray_o = camera["position"] + offset
+    ray_d = normalize(focal_point - offset)
+    return ray_o, ray_d

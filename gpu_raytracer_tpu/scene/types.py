@@ -137,27 +137,29 @@ class TriangleData:
         geom_len = np.linalg.norm(geom_n, axis=-1, keepdims=True)
         geom_n = geom_n / np.maximum(geom_len, 1e-20)
 
+        if uvs is None:
+            uvs = np.zeros((T, 3, 2), np.float32)
+        else:
+            uvs = np.asarray(uvs, np.float32).reshape(T, 3, 2)
+
         if normals is None:
             normals = np.repeat(geom_n[:, None, :], 3, axis=1)
         else:
             normals = np.asarray(normals, np.float32).reshape(T, 3, 3)
             lengths = np.linalg.norm(normals, axis=-1, keepdims=True)
             normals = np.where(lengths > 1e-12, normals / np.maximum(lengths, 1e-20),
-                               geom_n[:, None, :])
-            # All shading normals opposing the geometric normal => flipped winding.
+                               geom_n[:, None, :]).astype(np.float32)
+            # All three shading normals opposing the geometric normal means
+            # the winding is flipped: reverse it (swap vertex 1 <-> 2) so
+            # cross(e1, e2) agrees with the authored orientation (reference:
+            # Triangle.h fix_winding_order_if_needed). Mirroring (negative-
+            # determinant) instance transforms are the common source.
             dots = np.einsum("tvc,tc->tv", normals, geom_n)
             flipped = np.all(dots < 0.0, axis=1)
-            sign = np.where(flipped, -1.0, 1.0).astype(np.float32)
-            # re-derive: where flipped, negate geometric normal for any
-            # zero-length replacements (matches reference behavior of flipping
-            # the geometric normal, not the authored shading normals)
-            normals = np.where((lengths > 1e-12), normals,
-                               (geom_n * sign[:, None])[:, None, :]).astype(np.float32)
-
-        if uvs is None:
-            uvs = np.zeros((T, 3, 2), np.float32)
-        else:
-            uvs = np.asarray(uvs, np.float32).reshape(T, 3, 2)
+            if np.any(flipped):
+                positions[flipped] = positions[flipped][:, [0, 2, 1]]
+                normals[flipped] = normals[flipped][:, [0, 2, 1]]
+                uvs[flipped] = uvs[flipped][:, [0, 2, 1]]
 
         self.positions = positions
         self.normals = normals.astype(np.float32)
