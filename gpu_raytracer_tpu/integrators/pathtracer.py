@@ -29,15 +29,18 @@ import jax.numpy as jnp
 
 from gpu_raytracer_tpu.config import CPUConfig, GPUConfig, Invalidation
 from gpu_raytracer_tpu.ops import rng
-from gpu_raytracer_tpu.ops.bsdf import diffuse_eval, diffuse_sample
+from gpu_raytracer_tpu.ops import bsdf as bsdf_lib
 from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
 from gpu_raytracer_tpu.ops.camera_rays import generate_primary_rays
 from gpu_raytracer_tpu.ops.sampling import (
-    normalize,
+    local_to_world,
     luminance,
+    normalize,
+    orthonormal_basis,
     power_heuristic,
     sample_triangle_barycentric,
     searchsorted_cdf,
+    world_to_local,
 )
 from gpu_raytracer_tpu.ops.sky_ops import sample_sky
 from gpu_raytracer_tpu.ops.traverse import trace_any, trace_closest
@@ -74,10 +77,11 @@ def _interpolate_hit(tris, hit):
     return point, geom_n, shading_n, uv
 
 
-@functools.partial(jax.jit, static_argnames=("config", "width", "seed", "has_lights"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "width", "seed", "has_lights", "with_stats"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
-                has_lights: bool = True):
+                has_lights: bool = True, with_stats: bool = False):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -97,8 +101,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     alive = jnp.ones(R, bool)
     prev_allow_nee = jnp.zeros(R, bool)  # primary rays: emissive hits count fully
     last_pdf = jnp.ones(R, jnp.float32)
+    rays_traced = jnp.zeros((), jnp.float32)  # primary+bounce+shadow ray count
 
     for bounce in range(config.num_bounces):
+        rays_traced = rays_traced + jnp.sum(alive)
         hit = trace_closest(nodes, tris, ray_o, ray_d,
                             jnp.where(alive, INF, jnp.float32(0.0)))
 
@@ -148,20 +154,36 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             alive = alive & ~killed
             throughput = throughput / jnp.maximum(survival, 1e-8)[:, None]
 
-        # ---- surface shading (diffuse path; full BSDF set: ops/bsdf.py) ----
+        # ---- surface shading (reference: Pathtracer.cu shade_material) ----
         point, geom_n, shading_n, uv = _interpolate_hit(tris, hit)
-        # Two-sided: flip into the incident hemisphere (reference:
-        # Pathtracer.cu:643-650).
-        facing = jnp.sum(ray_d * geom_n, axis=-1) < 0.0
-        flip = jnp.where(facing, 1.0, -1.0)[:, None]
+        # Two-sided handling: `entering` tracks which side of the surface the
+        # ray arrived on (drives dielectric eta); the frame is flipped into
+        # the incident hemisphere (reference: Pathtracer.cu:643-650).
+        entering = jnp.sum(ray_d * geom_n, axis=-1) < 0.0
+        flip = jnp.where(entering, 1.0, -1.0)[:, None]
         geom_n = geom_n * flip
         shading_n = shading_n * flip
+
+        tangent, bitangent = orthonormal_basis(shading_n)
+        omega_i = world_to_local(-ray_d, tangent, bitangent, shading_n)
         # Reject rays arriving below the shading hemisphere (reference:
         # Pathtracer.cu:653 omega_i.z <= 0 return).
-        alive = alive & (jnp.sum(-ray_d * shading_n, axis=-1) > 0.0)
+        alive = alive & (omega_i[..., 2] > 0.0)
 
+        mat = {
+            "type": mat_type,
+            "roughness": materials["roughness"][mat_id],
+            "ior": materials["ior"][mat_id],
+            "eta": materials["eta"][mat_id],
+            "k": materials["k"][mat_id],
+        }
         albedo = materials["diffuse"][mat_id]
-        throughput = jnp.where(alive[:, None], throughput * albedo, throughput)
+        # Diffuse folds albedo into throughput once at the hit (reference
+        # calc_albedo); plastic's diffuse lobe owns its albedo internally.
+        is_diffuse = mat_type == int(MaterialType.DIFFUSE)
+        throughput = jnp.where((alive & is_diffuse)[:, None],
+                               throughput * albedo, throughput)
+        can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"])
 
         # ---- next-event estimation (reference: Pathtracer.cu:466-555) ----
         if nee_possible:
@@ -188,16 +210,19 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             to_light = to_light / jnp.maximum(dist, 1e-20)[:, None]
 
             cos_light = jnp.abs(jnp.sum(to_light * light_gn, axis=-1))
-            bsdf_val, bsdf_pdf, bsdf_valid = diffuse_eval(shading_n, to_light)
+            omega_o_nee = world_to_local(to_light, tangent, bitangent, shading_n)
+            nee_eval = bsdf_lib.bsdf_eval(buffers["luts"], mat, omega_i,
+                                          omega_o_nee, albedo, entering)
             light_pdf = (luminance(light_emission) * dist * dist
                          / jnp.maximum(cos_light * lights["total_weight"], 1e-20))
             pdf_ok = jnp.isfinite(light_pdf) & (light_pdf > 1e-20)
 
-            mis_w = power_heuristic(light_pdf, bsdf_pdf) if config.enable_mis else 1.0
-            illumination = (throughput * bsdf_val[:, None] * light_emission
+            mis_w = power_heuristic(light_pdf, nee_eval.pdf) if config.enable_mis else 1.0
+            illumination = (throughput * nee_eval.value * light_emission
                             * (mis_w / jnp.maximum(light_pdf, 1e-20))[:, None])
 
-            want_shadow = alive & bsdf_valid & pdf_ok & (cos_light > 1e-6)
+            want_shadow = alive & can_nee & nee_eval.valid & pdf_ok & (cos_light > 1e-6)
+            rays_traced = rays_traced + jnp.sum(want_shadow)
             occluded = trace_any(nodes, tris, shadow_o, to_light,
                                  jnp.where(want_shadow, dist - 2 * EPSILON,
                                            jnp.float32(0.0)))
@@ -205,20 +230,34 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             radiance = radiance + jnp.where(add[:, None], illumination, 0.0)
 
         # ---- BSDF sample -> continuation ray (reference: Pathtracer.cu:745-756) ----
-        new_dir, pdf, thr_mul, valid = diffuse_sample(
-            shading_n, pixel_index, bounce, sample_index, seed)
-        alive = alive & valid
-        throughput = throughput * thr_mul[:, None]
+        u_f0 = rng.random_float(2 * rng.SampleDimension.BSDF_0, pixel_index,
+                                bounce, sample_index, seed)
+        u_f1 = rng.random_float(2 * rng.SampleDimension.BSDF_0 + 1, pixel_index,
+                                bounce, sample_index, seed)
+        u_b0 = rng.random_float(2 * rng.SampleDimension.BSDF_1, pixel_index,
+                                bounce, sample_index, seed)
+        u_b1 = rng.random_float(2 * rng.SampleDimension.BSDF_1 + 1, pixel_index,
+                                bounce, sample_index, seed)
+        sample = bsdf_lib.bsdf_sample(buffers["luts"], mat, omega_i, albedo,
+                                      entering, u_f0, u_f1, u_b0, u_b1)
+        alive = alive & sample.valid
+        throughput = jnp.where(alive[:, None],
+                               throughput * sample.throughput_mul, throughput)
+        new_dir = local_to_world(sample.omega_o, tangent, bitangent, shading_n)
+        new_dir = normalize(new_dir)
         ray_o = _offset_origin(point, new_dir, geom_n)
         ray_d = new_dir
-        last_pdf = pdf
-        prev_allow_nee = jnp.full(R, bool(config.enable_nee))
+        last_pdf = sample.pdf
+        prev_allow_nee = jnp.full(R, bool(config.enable_nee)) & can_nee
 
     # NaN/Inf poisoning -> magenta, matching the reference's diagnostic
     # (Pathtracer.cu:790-793).
     bad = ~jnp.all(jnp.isfinite(radiance), axis=-1)
     magenta = jnp.array([1.0, 0.0, 1.0], jnp.float32)
-    return jnp.where(bad[:, None], magenta, radiance)
+    radiance = jnp.where(bad[:, None], magenta, radiance)
+    if with_stats:
+        return radiance, rays_traced
+    return radiance
 
 
 class Pathtracer:

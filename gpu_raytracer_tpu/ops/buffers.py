@@ -133,9 +133,11 @@ def build_light_cdf(triangles: TriangleData, tri_material: np.ndarray,
 
 def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
                         sah_cost_leaf: float = 1.0,
-                        bvh: Optional[BVH2] = None) -> dict:
+                        bvh: Optional[BVH2] = None,
+                        lut_samples: int = 16384) -> dict:
     """The full device pytree for the single-level render path."""
     scene.finalize()
+    scene.check_materials()
     triangles, tri_material = flatten_scene_triangles(scene)
 
     if bvh is None:
@@ -153,7 +155,17 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
 
     sky = scene.sky.data if scene.sky is not None else np.zeros((1, 1, 3), np.float32)
 
+    # Kulla-Conty energy-compensation LUTs: baked only when a material needs
+    # them (reference bakes unconditionally at startup, Pathtracer.cpp:182).
+    from gpu_raytracer_tpu.ops import kulla_conty
+
+    if scene.has_dielectric or scene.has_conductor:
+        luts = kulla_conty.bake_luts(lut_samples)
+    else:
+        luts = kulla_conty.placeholder_luts()
+
     return {
+        "luts": luts,
         "nodes": {
             "min": jnp.asarray(bvh.node_min),
             "max": jnp.asarray(bvh.node_max),

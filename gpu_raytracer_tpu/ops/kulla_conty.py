@@ -1,0 +1,289 @@
+"""Kulla-Conty multiple-scattering energy compensation
+(reference: Src/CUDA/KullaConty.h + host driver Pathtracer.cpp:182-245).
+
+The reference bakes six LUTs on the GPU at startup with per-entry Monte-Carlo
+loops (100k sequential samples per thread). Here the bake is one jitted JAX
+program: all table entries X a sample chunk are evaluated as a single
+vectorized batch and reduced with `lax.fori_loop` over chunks — the
+TPU-native formulation of the same integral. Tables are cached to disk keyed
+by (dims, sample count).
+
+LUT semantics match the reference exactly:
+  * dielectric directional albedo E(ior, roughness, cos_theta) for entering
+    (eta = 1/ior) and leaving (eta = ior) rays — 16^3 each
+  * dielectric average albedo E_avg(ior, roughness) = 2 int E(mu) mu dmu — 16^2
+  * conductor directional albedo E(roughness, cos_theta) (Fresnel excluded)
+    — 32^2, and its cosine-weighted average — 32
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu.config import (
+    LUT_CONDUCTOR_DIM_COS_THETA,
+    LUT_CONDUCTOR_DIM_ROUGHNESS,
+    LUT_DIELECTRIC_DIM_COS_THETA,
+    LUT_DIELECTRIC_DIM_IOR,
+    LUT_DIELECTRIC_DIM_ROUGHNESS,
+)
+from gpu_raytracer_tpu.ops import rng
+from gpu_raytracer_tpu.ops.microfacet import (
+    fresnel_dielectric,
+    ggx_D,
+    ggx_G1,
+    ggx_G2,
+    pdf_is_valid,
+    reflect_direction,
+    refract_direction,
+    roughness_to_alpha,
+    safe_sqrt,
+    sample_vndf_ggx,
+)
+
+LUT_DIELECTRIC_MIN_IOR = 1.0001  # reference: Common.h:92-93
+LUT_DIELECTRIC_MAX_IOR = 2.5
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".cache")
+
+
+def _grid_centers(dim):
+    return ((np.arange(dim, dtype=np.float32) + 0.5) / dim).astype(np.float32)
+
+
+def _dielectric_grid():
+    ior = LUT_DIELECTRIC_MIN_IOR + _grid_centers(LUT_DIELECTRIC_DIM_IOR) * (
+        LUT_DIELECTRIC_MAX_IOR - LUT_DIELECTRIC_MIN_IOR)
+    rough = _grid_centers(LUT_DIELECTRIC_DIM_ROUGHNESS)
+    cos = _grid_centers(LUT_DIELECTRIC_DIM_COS_THETA)
+    return ior, rough, cos
+
+
+def _sample_u(entry_ids, dim, chunk_base, s):
+    return rng.random_float(dim, entry_ids, 0, chunk_base + s, seed=7)
+
+
+@partial(jax.jit, static_argnames=("entering", "num_samples"))
+def _bake_dielectric_directional(entering: bool, num_samples: int):
+    """E x (ior, roughness, cos_theta) grid — weight = G2/G1 of a VNDF sample
+    (reference: kernel_integrate_dielectric, KullaConty.h:83-150)."""
+    ior_g, rough_g, cos_g = _dielectric_grid()
+    ior, rough, cos = [jnp.asarray(a.reshape(s), jnp.float32) for a, s in (
+        (np.tile(ior_g, LUT_DIELECTRIC_DIM_ROUGHNESS * LUT_DIELECTRIC_DIM_COS_THETA), (-1,)),
+        (np.tile(np.repeat(rough_g, LUT_DIELECTRIC_DIM_IOR), LUT_DIELECTRIC_DIM_COS_THETA), (-1,)),
+        (np.repeat(cos_g, LUT_DIELECTRIC_DIM_IOR * LUT_DIELECTRIC_DIM_ROUGHNESS), (-1,)),
+    )]
+    E = ior.shape[0]
+    entry_ids = jnp.arange(E, dtype=jnp.int32)
+    eta = 1.0 / ior if entering else ior
+    alpha = roughness_to_alpha(rough)
+    sin = safe_sqrt(1.0 - cos * cos)
+    omega_i = jnp.stack([sin, jnp.zeros_like(sin), cos], axis=-1)
+
+    def one_sample(s):
+        u_f = _sample_u(entry_ids, 0, 0, 3 * s)
+        u_1 = _sample_u(entry_ids, 1, 0, 3 * s + 1)
+        u_2 = _sample_u(entry_ids, 2, 0, 3 * s + 2)
+        omega_m = sample_vndf_ggx(omega_i, alpha, alpha, u_1, u_2)
+        i_dot_m = jnp.abs(jnp.sum(omega_i * omega_m, axis=-1))
+        F = fresnel_dielectric(i_dot_m, eta)
+        reflected = u_f < F
+        omega_r = reflect_direction(omega_i, omega_m)
+        omega_t = refract_direction(omega_i, omega_m, eta)
+        omega_o = jnp.where(reflected[:, None], omega_r, omega_t)
+        hemi_ok = reflected == (omega_o[..., 2] >= 0.0)
+
+        D = ggx_D(omega_m, alpha, alpha)
+        G1 = ggx_G1(omega_i, alpha, alpha)
+        G2 = ggx_G2(omega_o, omega_i, omega_m, alpha, alpha)
+        o_dot_m = jnp.abs(jnp.sum(omega_o * omega_m, axis=-1))
+        pdf_r = F * G1 * D / (4.0 * omega_i[..., 2])
+        pdf_t = ((1.0 - F) * G1 * D * i_dot_m * o_dot_m
+                 / (omega_i[..., 2] * (eta * i_dot_m + o_dot_m) ** 2))
+        pdf = jnp.where(reflected, pdf_r, pdf_t)
+        weight = G2 / jnp.maximum(G1, 1e-8)
+        return jnp.where(hemi_ok & pdf_is_valid(pdf), weight, 0.0)
+
+    def body(s, acc):
+        return acc + one_sample(s)
+
+    total = jax.lax.fori_loop(0, num_samples, body, jnp.zeros(E, jnp.float32))
+    table = (total / num_samples).reshape(
+        LUT_DIELECTRIC_DIM_COS_THETA, LUT_DIELECTRIC_DIM_ROUGHNESS,
+        LUT_DIELECTRIC_DIM_IOR).transpose(2, 1, 0)
+    return jnp.clip(table, 0.0, 1.0)  # (IOR, ROUGH, COS)
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def _bake_conductor_directional(num_samples: int):
+    """reference: kernel_integrate_conductor (Fresnel excluded)."""
+    rough_g = _grid_centers(LUT_CONDUCTOR_DIM_ROUGHNESS)
+    cos_g = _grid_centers(LUT_CONDUCTOR_DIM_COS_THETA)
+    rough = jnp.asarray(np.tile(rough_g, LUT_CONDUCTOR_DIM_COS_THETA))
+    cos = jnp.asarray(np.repeat(cos_g, LUT_CONDUCTOR_DIM_ROUGHNESS))
+    E = rough.shape[0]
+    entry_ids = jnp.arange(E, dtype=jnp.int32)
+    alpha = roughness_to_alpha(rough)
+    sin = safe_sqrt(1.0 - cos * cos)
+    omega_i = jnp.stack([sin, jnp.zeros_like(sin), cos], axis=-1)
+
+    def one_sample(s):
+        u_1 = _sample_u(entry_ids, 4, 0, 2 * s)
+        u_2 = _sample_u(entry_ids, 5, 0, 2 * s + 1)
+        omega_m = sample_vndf_ggx(omega_i, alpha, alpha, u_1, u_2)
+        omega_o = reflect_direction(omega_i, omega_m)
+        ok = (jnp.sum(omega_o * omega_m, axis=-1) > 0.0) & (omega_o[..., 2] > 0.0)
+        D = ggx_D(omega_m, alpha, alpha)
+        G1 = ggx_G1(omega_i, alpha, alpha)
+        G2 = ggx_G2(omega_o, omega_i, omega_m, alpha, alpha)
+        pdf = G1 * D / (4.0 * omega_i[..., 2])
+        return jnp.where(ok & pdf_is_valid(pdf), G2 / jnp.maximum(G1, 1e-8), 0.0)
+
+    total = jax.lax.fori_loop(0, num_samples, lambda s, acc: acc + one_sample(s),
+                              jnp.zeros(E, jnp.float32))
+    table = (total / num_samples).reshape(
+        LUT_CONDUCTOR_DIM_COS_THETA, LUT_CONDUCTOR_DIM_ROUGHNESS).T
+    return jnp.clip(table, 0.0, 1.0)  # (ROUGH, COS)
+
+
+def _average_over_cos(directional, cos_centers):
+    """E_avg = 2 int_0^1 E(mu) mu dmu (reference: kernel_average_*)."""
+    w = jnp.asarray(cos_centers, jnp.float32)
+    return 2.0 * jnp.mean(directional * w, axis=-1)
+
+
+def bake_luts(num_samples: int = 16384) -> dict:
+    """Bake (or load cached) all six tables. Returns a dict of jnp arrays."""
+    cache = os.path.join(_CACHE_DIR, f"kulla_conty_s{num_samples}.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        return {k: jnp.asarray(data[k]) for k in data.files}
+
+    die_enter = _bake_dielectric_directional(True, num_samples)
+    die_leave = _bake_dielectric_directional(False, num_samples)
+    con_dir = _bake_conductor_directional(num_samples)
+    cos_die = _grid_centers(LUT_DIELECTRIC_DIM_COS_THETA)
+    cos_con = _grid_centers(LUT_CONDUCTOR_DIM_COS_THETA)
+    luts = {
+        "dielectric_dir_enter": die_enter,
+        "dielectric_dir_leave": die_leave,
+        "dielectric_avg_enter": _average_over_cos(die_enter, cos_die),
+        "dielectric_avg_leave": _average_over_cos(die_leave, cos_die),
+        "conductor_dir": con_dir,
+        "conductor_avg": _average_over_cos(con_dir, cos_con),
+    }
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    np.savez(cache, **{k: np.asarray(v) for k, v in luts.items()})
+    return luts
+
+
+def placeholder_luts() -> dict:
+    """Energy-complete tables (E == 1 everywhere): disables multiscatter
+    compensation, for scenes with no dielectric/conductor materials."""
+    ones3 = jnp.ones((LUT_DIELECTRIC_DIM_IOR, LUT_DIELECTRIC_DIM_ROUGHNESS,
+                      LUT_DIELECTRIC_DIM_COS_THETA), jnp.float32)
+    ones2 = jnp.ones((LUT_DIELECTRIC_DIM_IOR, LUT_DIELECTRIC_DIM_ROUGHNESS), jnp.float32)
+    return {
+        "dielectric_dir_enter": ones3,
+        "dielectric_dir_leave": ones3,
+        "dielectric_avg_enter": ones2,
+        "dielectric_avg_leave": ones2,
+        "conductor_dir": jnp.ones((LUT_CONDUCTOR_DIM_ROUGHNESS,
+                                   LUT_CONDUCTOR_DIM_COS_THETA), jnp.float32),
+        "conductor_avg": jnp.ones(LUT_CONDUCTOR_DIM_ROUGHNESS, jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Lookups (linear filtering with half-texel centers, like the CUDA textures)
+# ---------------------------------------------------------------------------
+
+def _normalize_ior(ior):
+    return jnp.clip((ior - LUT_DIELECTRIC_MIN_IOR)
+                    / (LUT_DIELECTRIC_MAX_IOR - LUT_DIELECTRIC_MIN_IOR), 0.0, 1.0)
+
+
+def _axis_coords(coord, dim):
+    x = jnp.clip(coord * dim - 0.5, 0.0, dim - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    return x0, jnp.minimum(x0 + 1, dim - 1), x - x0
+
+
+def _trilinear(table, u, v, w):
+    """table: (I, Ro, C) shared; u/v/w: (R,) normalized coords."""
+    I, Ro, C = table.shape
+    u0, u1, fu = _axis_coords(u, I)
+    v0, v1, fv = _axis_coords(v, Ro)
+    w0, w1, fw = _axis_coords(w, C)
+
+    def g(i, j, k):
+        return table[i, j, k]
+
+    c00 = g(u0, v0, w0) * (1 - fu) + g(u1, v0, w0) * fu
+    c01 = g(u0, v0, w1) * (1 - fu) + g(u1, v0, w1) * fu
+    c10 = g(u0, v1, w0) * (1 - fu) + g(u1, v1, w0) * fu
+    c11 = g(u0, v1, w1) * (1 - fu) + g(u1, v1, w1) * fu
+    c0 = c00 * (1 - fv) + c10 * fv
+    c1 = c01 * (1 - fv) + c11 * fv
+    return c0 * (1 - fw) + c1 * fw
+
+
+def _bilinear(table, u, v):
+    I, Ro = table.shape
+    u0, u1, fu = _axis_coords(u, I)
+    v0, v1, fv = _axis_coords(v, Ro)
+    c0 = table[u0, v0] * (1 - fu) + table[u1, v0] * fu
+    c1 = table[u0, v1] * (1 - fu) + table[u1, v1] * fu
+    return c0 * (1 - fv) + c1 * fv
+
+
+def dielectric_directional_albedo(luts, ior, roughness, cos_theta, entering):
+    """entering: (R,) bool (reference: KullaConty.h:16-24)."""
+    u = _normalize_ior(ior)
+    v = jnp.clip(roughness, 0.0, 1.0)
+    w = jnp.abs(cos_theta)
+    return jnp.where(entering,
+                     _trilinear(luts["dielectric_dir_enter"], u, v, w),
+                     _trilinear(luts["dielectric_dir_leave"], u, v, w))
+
+
+def dielectric_albedo(luts, ior, roughness, entering):
+    u = _normalize_ior(ior)
+    v = jnp.clip(roughness, 0.0, 1.0)
+    return jnp.where(entering,
+                     _bilinear(luts["dielectric_avg_enter"], u, v),
+                     _bilinear(luts["dielectric_avg_leave"], u, v))
+
+
+def conductor_directional_albedo(luts, roughness, cos_theta):
+    return _bilinear(luts["conductor_dir"], jnp.clip(roughness, 0.0, 1.0),
+                     jnp.abs(cos_theta))
+
+
+def conductor_albedo(luts, roughness):
+    table = luts["conductor_avg"]
+    x0, x1, f = _axis_coords(jnp.clip(roughness, 0.0, 1.0), table.shape[0])
+    return table[x0] * (1 - f) + table[x1] * f
+
+
+def fresnel_multiscatter(F_avg, E_avg):
+    """reference: KullaConty.h:12-14."""
+    if F_avg.ndim > E_avg.ndim:
+        E_avg = E_avg[..., None]
+    return F_avg * F_avg * E_avg / (1.0 - F_avg * (1.0 - E_avg))
+
+
+def multiscatter_lobe(E_i, E_o, E_avg):
+    """reference: KullaConty.h:46-49."""
+    return (1.0 - E_i) * (1.0 - E_o) / jnp.maximum(1e-4, jnp.pi * (1.0 - E_avg))
+
+
+def dielectric_reciprocity_factor(E_avg_enter, E_avg_leave):
+    """reference: KullaConty.h:51-66."""
+    return (1.0 - E_avg_leave) / jnp.maximum(1e-4, 2.0 - E_avg_enter - E_avg_leave)
