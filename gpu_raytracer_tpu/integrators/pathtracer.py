@@ -43,7 +43,7 @@ from gpu_raytracer_tpu.ops.sampling import (
     world_to_local,
 )
 from gpu_raytracer_tpu.ops.sky_ops import sample_sky
-from gpu_raytracer_tpu.ops.traverse import trace_any, trace_closest
+from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas
 from gpu_raytracer_tpu.scene.scene import Scene
 from gpu_raytracer_tpu.scene.types import MaterialType
 
@@ -58,21 +58,32 @@ def _offset_origin(point, direction, geometric_normal):
     return point + sign * EPSILON * geometric_normal
 
 
-def _interpolate_hit(tris, hit):
-    """Reconstruct position/normals/uv from barycentrics (reference:
-    Pathtracer.cu:600-640 shade_material hit reconstruction)."""
+def _interpolate_hit(tris, instances, hit):
+    """Reconstruct position/normals/uv from barycentrics in object space and
+    transform into world space with the hit instance's matrices (reference:
+    Pathtracer.cu:596-650 shade_material hit reconstruction)."""
     ti = jnp.maximum(hit.tri, 0)
+    ii = jnp.maximum(hit.inst, 0)
     u = hit.u[:, None]
     v = hit.v[:, None]
     p0 = tris["p0"][ti]
     e1 = tris["e1"][ti]
     e2 = tris["e2"][ti]
-    point = p0 + u * e1 + v * e2
-    geom_n = normalize(jnp.cross(e1, e2))
+    fwd = instances["transform"][ii]      # (R, 3, 4)
+    inv = instances["transform_inv"][ii]
+
+    p_obj = p0 + u * e1 + v * e2
+    point = jnp.einsum("rij,rj->ri", fwd[:, :, :3], p_obj) + fwd[:, :, 3]
+
+    # Normals transform by the inverse-transpose: n'_j = sum_i inv[i, j] n_i.
+    def n_to_world(n):
+        return normalize(jnp.einsum("rij,ri->rj", inv[:, :, :3], n))
+
+    geom_n = n_to_world(jnp.cross(e1, e2))
     n0 = tris["n0"][ti]
     n1 = tris["n1"][ti]
     n2 = tris["n2"][ti]
-    shading_n = normalize((1.0 - u - v) * n0 + u * n1 + v * n2)
+    shading_n = n_to_world((1.0 - u - v) * n0 + u * n1 + v * n2)
     uv = (1.0 - u - v) * tris["uv0"][ti] + u * tris["uv1"][ti] + v * tris["uv2"][ti]
     return point, geom_n, shading_n, uv
 
@@ -89,6 +100,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     """
     R = pixel_index.shape[0]
     nodes, tris = buffers["nodes"], buffers["tris"]
+    instances = buffers["instances"]
     materials = buffers["materials"]
     lights = buffers["lights"]
     nee_possible = config.enable_nee and has_lights
@@ -105,8 +117,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
     for bounce in range(config.num_bounces):
         rays_traced = rays_traced + jnp.sum(alive)
-        hit = trace_closest(nodes, tris, ray_o, ray_d,
-                            jnp.where(alive, INF, jnp.float32(0.0)))
+        hit = trace_closest_tlas(nodes, tris, instances, ray_o, ray_d,
+                                 jnp.where(alive, INF, jnp.float32(0.0)))
 
         # ---- sky on miss (reference: Pathtracer.cu:328-343) ----
         missed = alive & (hit.tri < 0)
@@ -114,17 +126,21 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         radiance = radiance + jnp.where(missed[:, None], throughput * sky_radiance, 0.0)
         alive = alive & ~missed
 
-        # ---- material fetch ----
+        # ---- material fetch (instance material wins, like the reference's
+        # per-mesh material id, Raytracing/Mesh.h) ----
         ti = jnp.maximum(hit.tri, 0)
-        mat_id = tris["material"][ti]
+        ii = jnp.maximum(hit.inst, 0)
+        mat_id = instances["material_id"][ii]
         mat_type = materials["type"][mat_id]
         emission = materials["emission"][mat_id]
 
         # ---- emissive hit (reference: Pathtracer.cu:354-421) ----
         is_light = alive & (mat_type == int(MaterialType.LIGHT))
         if nee_possible:
-            # Geometric light normal for the solid-angle pdf.
-            light_gn = normalize(jnp.cross(tris["e1"][ti], tris["e2"][ti]))
+            # World-space geometric light normal for the solid-angle pdf.
+            inv_hit = instances["transform_inv"][ii]
+            light_gn = normalize(jnp.einsum(
+                "rij,ri->rj", inv_hit[:, :, :3], jnp.cross(tris["e1"][ti], tris["e2"][ti])))
             cos_light = jnp.abs(jnp.sum(ray_d * light_gn, axis=-1))
             light_pdf = (luminance(emission) * hit.t * hit.t
                          / jnp.maximum(cos_light * lights["total_weight"], 1e-20))
@@ -155,7 +171,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             throughput = throughput / jnp.maximum(survival, 1e-8)[:, None]
 
         # ---- surface shading (reference: Pathtracer.cu shade_material) ----
-        point, geom_n, shading_n, uv = _interpolate_hit(tris, hit)
+        point, geom_n, shading_n, uv = _interpolate_hit(tris, instances, hit)
         # Two-sided handling: `entering` tracks which side of the surface the
         # ray arrived on (drives dielectric eta); the frame is flipped into
         # the incident hemisphere (reference: Pathtracer.cu:643-650).
@@ -195,13 +211,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                     pixel_index, bounce, sample_index, seed)
             k = searchsorted_cdf(lights["cdf"], u_pick)
             lt = lights["tri"][k]
+            li = lights["inst"][k]
             lu, lv = sample_triangle_barycentric(u_b1, u_b2)
-            lp0 = tris["p0"][lt]
-            le1 = tris["e1"][lt]
-            le2 = tris["e2"][lt]
+            lfwd = instances["transform"][li]
+            le1 = jnp.einsum("rij,rj->ri", lfwd[:, :, :3], tris["e1"][lt])
+            le2 = jnp.einsum("rij,rj->ri", lfwd[:, :, :3], tris["e2"][lt])
+            lp0 = jnp.einsum("rij,rj->ri", lfwd[:, :, :3], tris["p0"][lt]) + lfwd[:, :, 3]
             light_point = lp0 + lu[:, None] * le1 + lv[:, None] * le2
             light_gn = normalize(jnp.cross(le1, le2))
-            light_emission = materials["emission"][tris["material"][lt]]
+            light_emission = materials["emission"][instances["material_id"][li]]
 
             shadow_o = _offset_origin(point, light_point - point, geom_n)
             light_point = _offset_origin(light_point, shadow_o - light_point, light_gn)
@@ -223,9 +241,9 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
             want_shadow = alive & can_nee & nee_eval.valid & pdf_ok & (cos_light > 1e-6)
             rays_traced = rays_traced + jnp.sum(want_shadow)
-            occluded = trace_any(nodes, tris, shadow_o, to_light,
-                                 jnp.where(want_shadow, dist - 2 * EPSILON,
-                                           jnp.float32(0.0)))
+            occluded = trace_any_tlas(nodes, tris, instances, shadow_o, to_light,
+                                      jnp.where(want_shadow, dist - 2 * EPSILON,
+                                                jnp.float32(0.0)))
             add = want_shadow & ~occluded
             radiance = radiance + jnp.where(add[:, None], illumination, 0.0)
 
@@ -293,12 +311,23 @@ class Pathtracer:
 
     def update(self, delta: float = 0.0) -> None:
         """Selective re-upload per invalidation flags (reference
-        Integrator::update)."""
-        if self.buffers is None or self.invalidated.scene or self.invalidated.materials \
+        Integrator::update, Integrator.cpp:432-528)."""
+        if self.buffers is None or self.invalidated.materials \
                 or self.invalidated.mediums or self.invalidated.sky:
             self.scene.update(delta)
             self.init_device()
             self.reset_accumulation()
+        elif self.invalidated.scene:
+            # Transform-only edits: in-place TLAS + instance refresh — no
+            # shape change, no re-jit (reference: per-frame build_tlas).
+            from gpu_raytracer_tpu.ops.buffers import refresh_tlas
+
+            if self.cpu_config.enable_scene_update:
+                self.scene.update(delta)
+            self.buffers = refresh_tlas(self.buffers, self.scene)
+            if not self.gpu_config.enable_svgf:
+                self.reset_accumulation()
+            self.invalidated.clear()
         elif self.invalidated.camera or self.invalidated.gpu_config:
             self.reset_accumulation()
             self.invalidated.clear()

@@ -1,13 +1,23 @@
-"""Scene -> device buffers (the analog of the reference's Integrator::
-init_geometry / init_materials / init_sky uploads, Src/Renderer/Integrators/
-Integrator.cpp:21-311).
+"""Scene -> device buffers: the two-level TLAS/BLAS layout
+(reference: Integrator::init_geometry aggregation, Src/Renderer/Integrators/
+Integrator.cpp:101-283, + build_tlas:399-430).
 
-The CUDA build aggregates per-mesh BLAS arrays and resolves them through
-`cuModuleGetGlobal` device globals; here the whole scene becomes one explicit
-pytree of jnp arrays passed to the jitted stages. This module currently emits
-a *single-level* BVH over world-space triangles (instances flattened); the
-two-level TLAS/BLAS path for shared-BLAS instancing lives in ops/tlas.py and
-replaces the flatten once per-frame TLAS rebuilds land.
+Unified node array: [fixed-size TLAS region][all BLAS nodes]. Instances share
+BLAS data exactly like the reference (MeshData is the instancing unit);
+triangles stay in OBJECT space with per-BLAS leaf ordering, and the TLAS
+region + instance transform table are refreshed in place per frame
+(`refresh_tlas`) without changing any array shape, so scene edits never
+trigger an XLA recompile.
+
+Device globals of the CUDA build (resolved by cuModuleGetGlobal) are this
+explicit pytree:
+  nodes      {min,max (N,3), left,count (N,)}   count: >0 tri leaf, 0 interior,
+                                                 -1 instance leaf
+  tris       object-space SoA (p0,e1,e2,n0..2,uv0..2) + material id per tri
+  instances  {transform, transform_inv (I,3,4), material_id, blas_root (I,)}
+  materials  SoA tables        mediums   sigma tables
+  lights     world-space power CDF over (instance, triangle) pairs
+  luts       Kulla-Conty tables            sky  equirect HDR
 """
 
 from __future__ import annotations
@@ -17,38 +27,15 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from gpu_raytracer_tpu.bvh import build_bvh2, collapse
-from gpu_raytracer_tpu.bvh.types import BVH2
+from gpu_raytracer_tpu.bvh.cache import build_blas_cached
+from gpu_raytracer_tpu.bvh.tlas import build_tlas, instance_world_aabbs, tlas_region_size
 from gpu_raytracer_tpu.core import transform as xf
 from gpu_raytracer_tpu.ops.traverse import LEAF_SIZE
 from gpu_raytracer_tpu.scene.scene import Scene
-from gpu_raytracer_tpu.scene.types import MaterialType, TriangleData
+from gpu_raytracer_tpu.scene.types import MaterialType
 
 # Rec.709 luma weights (reference: Src/Math/Math.h luminance).
 LUMA = np.array([0.2126, 0.7152, 0.0722], np.float32)
-
-
-def flatten_scene_triangles(scene: Scene):
-    """Instance-flatten all meshes into world space.
-    Returns (TriangleData, per-tri material ids)."""
-    parts = []
-    mat_ids = []
-    for inst in scene.instances:
-        md = scene.mesh_datas[inst.mesh_data_id]
-        tris = md.triangles
-        if inst.has_identity_transform():
-            world = tris
-        else:
-            world = TriangleData.__new__(TriangleData)
-            world.positions = xf.transform_points(
-                inst.transform, tris.positions.reshape(-1, 3)).reshape(-1, 3, 3)
-            world.normals = xf.transform_normals(
-                inst.transform_inv, tris.normals.reshape(-1, 3)).reshape(-1, 3, 3)
-            world.uvs = tris.uvs
-        parts.append(world)
-        mat_ids.append(np.full(len(tris), inst.material_id, np.int32))
-    triangles = TriangleData.concatenate(parts)
-    return triangles, np.concatenate(mat_ids)
 
 
 def pack_materials(scene: Scene) -> dict:
@@ -93,70 +80,166 @@ def pack_mediums(scene: Scene) -> dict:
             "g": jnp.asarray(g)}
 
 
-def build_light_cdf(triangles: TriangleData, tri_material: np.ndarray,
-                    materials_type: np.ndarray, emission: np.ndarray):
-    """Power-weighted light triangle CDF.
+class GeometryCache:
+    """Host-side record of the aggregated BLAS layout, kept so TLAS refreshes
+    and light-CDF rebuilds don't re-aggregate geometry."""
 
-    The reference builds a two-level pick (power-weighted mesh CDF, then
-    area-weighted triangle CDF within the mesh — Pathtracer.cpp:384-534);
-    flattened scenes collapse this into one CDF over light triangles with
-    weight area_i * luminance(emission_i): the resulting pick probability is
-    identical to the reference's product.
-    """
-    is_light = (materials_type[tri_material] == int(MaterialType.LIGHT))
-    lum = emission[tri_material] @ LUMA
-    is_light &= lum > 0
-    light_ids = np.nonzero(is_light)[0].astype(np.int32)
-    if len(light_ids) == 0:
+    def __init__(self):
+        self.blas_root_of_mesh: list = []
+        self.tri_base_of_mesh: list = []
+        self.tri_count_of_mesh: list = []
+        self.tlas_size: int = 0
+        # Object-space light geometry per mesh (for the world-area CDF).
+        self.obj_e1: Optional[np.ndarray] = None
+        self.obj_e2: Optional[np.ndarray] = None
+
+
+def _aggregate_blas(scene: Scene, sah_cost_node, sah_cost_leaf, force_rebuild):
+    """Build every unique BLAS (disk-cached) and aggregate into global
+    object-space arrays with offsets (reference: init_geometry)."""
+    geo = GeometryCache()
+    num_instances = max(len(scene.instances), 1)
+    geo.tlas_size = tlas_region_size(num_instances)
+
+    node_mins, node_maxs, node_lefts, node_counts = [], [], [], []
+    tri_parts = []
+    node_base = geo.tlas_size
+    tri_base = 0
+    for md in scene.mesh_datas:
+        bvh = md.bvh
+        if bvh is None:
+            bvh = build_blas_cached(md.triangles, sah_cost_node, sah_cost_leaf,
+                                    LEAF_SIZE, force_rebuild)
+            md.bvh = bvh
+        geo.blas_root_of_mesh.append(node_base)
+        geo.tri_base_of_mesh.append(tri_base)
+        geo.tri_count_of_mesh.append(bvh.num_prims)
+
+        is_leaf = bvh.node_count > 0
+        node_mins.append(bvh.node_min)
+        node_maxs.append(bvh.node_max)
+        node_lefts.append(np.where(is_leaf, bvh.node_left + tri_base,
+                                   bvh.node_left + node_base).astype(np.int32))
+        node_counts.append(bvh.node_count.astype(np.int32))
+
+        tri_parts.append(md.triangles.select(bvh.indices))
+        node_base += bvh.num_nodes
+        tri_base += bvh.num_prims
+
+    from gpu_raytracer_tpu.scene.types import TriangleData
+
+    tris = TriangleData.concatenate(tri_parts)
+    pos = tris.positions
+    geo.obj_e1 = pos[:, 1] - pos[:, 0]
+    geo.obj_e2 = pos[:, 2] - pos[:, 0]
+
+    blas = {
+        "min": np.concatenate(node_mins, axis=0),
+        "max": np.concatenate(node_maxs, axis=0),
+        "left": np.concatenate(node_lefts, axis=0),
+        "count": np.concatenate(node_counts, axis=0),
+    }
+    return geo, blas, tris
+
+
+def _pack_instances(scene: Scene, geo: GeometryCache):
+    I = max(len(scene.instances), 1)
+    transform = np.tile(np.eye(3, 4, dtype=np.float32), (I, 1, 1))
+    transform_inv = np.tile(np.eye(3, 4, dtype=np.float32), (I, 1, 1))
+    transform_prev = np.tile(np.eye(3, 4, dtype=np.float32), (I, 1, 1))
+    material_id = np.zeros(I, np.int32)
+    blas_root = np.zeros(I, np.int32)
+    for i, inst in enumerate(scene.instances):
+        transform[i] = inst.transform
+        transform_inv[i] = inst.transform_inv
+        transform_prev[i] = inst.transform_prev
+        material_id[i] = inst.material_id
+        blas_root[i] = geo.blas_root_of_mesh[inst.mesh_data_id]
+    return {
+        "transform": jnp.asarray(transform),
+        "transform_inv": jnp.asarray(transform_inv),
+        "transform_prev": jnp.asarray(transform_prev),
+        "material_id": jnp.asarray(material_id),
+        "blas_root": jnp.asarray(blas_root),
+    }
+
+
+def _build_lights(scene: Scene, geo: GeometryCache):
+    """World-space power-weighted CDF over (instance, triangle) pairs
+    (reference two-level pick: power-weighted mesh CDF then area-weighted
+    triangle CDF, Pathtracer.cpp:384-534 — flattened here to one CDF whose
+    pick probability equals the reference's product)."""
+    light_tris, light_insts, weights = [], [], []
+    for i, inst in enumerate(scene.instances):
+        mat = scene.materials[inst.material_id]
+        if not mat.is_light():
+            continue
+        base = geo.tri_base_of_mesh[inst.mesh_data_id]
+        count = geo.tri_count_of_mesh[inst.mesh_data_id]
+        e1 = geo.obj_e1[base:base + count]
+        e2 = geo.obj_e2[base:base + count]
+        lin = inst.transform[:, :3]
+        e1w = e1 @ lin.T
+        e2w = e2 @ lin.T
+        area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
+        lum = float(mat.emission @ LUMA)
+        light_tris.append(np.arange(base, base + count, dtype=np.int32))
+        light_insts.append(np.full(count, i, np.int32))
+        weights.append(area * lum)
+
+    if not light_tris:
         return {
             "tri": jnp.zeros(1, jnp.int32),
+            "inst": jnp.zeros(1, jnp.int32),
             "cdf": jnp.ones(1, jnp.float32),
-            "area": jnp.ones(1, jnp.float32),
-            "weight": jnp.zeros(1, jnp.float32),
             "total_weight": jnp.float32(0.0),
-        }
-    e1 = triangles.positions[light_ids, 1] - triangles.positions[light_ids, 0]
-    e2 = triangles.positions[light_ids, 2] - triangles.positions[light_ids, 0]
-    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-    weight = area * lum[light_ids]
-    total = float(weight.sum())
-    cdf = np.cumsum(weight) / max(total, 1e-20)
+        }, 0
+    weights = np.concatenate(weights)
+    total = float(weights.sum())
+    cdf = np.cumsum(weights) / max(total, 1e-20)
     cdf[-1] = 1.0
     return {
-        "tri": jnp.asarray(light_ids),
+        "tri": jnp.asarray(np.concatenate(light_tris)),
+        "inst": jnp.asarray(np.concatenate(light_insts)),
         "cdf": jnp.asarray(cdf.astype(np.float32)),
-        "area": jnp.asarray(area.astype(np.float32)),
-        "weight": jnp.asarray(weight.astype(np.float32)),
         "total_weight": jnp.float32(total),
-    }
+    }, len(weights)
 
 
 def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
                         sah_cost_leaf: float = 1.0,
-                        bvh: Optional[BVH2] = None,
-                        lut_samples: int = 16384) -> dict:
-    """The full device pytree for the single-level render path."""
+                        force_rebuild: bool = False,
+                        lut_samples: int = 16384,
+                        geometry_cache: Optional[GeometryCache] = None) -> dict:
+    """The full device pytree. Returns buffers; the GeometryCache for
+    incremental TLAS refreshes is stored on the scene as `_geometry_cache`."""
     scene.finalize()
     scene.check_materials()
-    triangles, tri_material = flatten_scene_triangles(scene)
 
-    if bvh is None:
-        bvh = build_bvh2(triangles, sah_cost_node, sah_cost_leaf)
-        bvh = collapse(bvh, sah_cost_node, sah_cost_leaf, max_leaf_size=LEAF_SIZE)
+    geo, blas, tris_leaf = _aggregate_blas(scene, sah_cost_node, sah_cost_leaf,
+                                           force_rebuild)
+    scene._geometry_cache = geo
 
-    order = bvh.indices
-    tris_leaf = triangles.select(order)
-    tri_material = tri_material[order]
+    # TLAS over current instance world AABBs.
+    wmin, wmax = instance_world_aabbs(scene)
+    t_min, t_max_, t_left, t_count = build_tlas(wmin, wmax, sah_cost_node, sah_cost_leaf)
+
+    nodes = {
+        "min": jnp.asarray(np.concatenate([t_min, blas["min"]], axis=0)),
+        "max": jnp.asarray(np.concatenate([t_max_, blas["max"]], axis=0)),
+        "left": jnp.asarray(np.concatenate([t_left, blas["left"]], axis=0)),
+        "count": jnp.asarray(np.concatenate([t_count, blas["count"]], axis=0)),
+    }
 
     pos = tris_leaf.positions
+    # Per-triangle material id (object-space; needed for light lookups when a
+    # BLAS is shared by instances with different materials the *instance*
+    # material wins — tri_material is only the default).
     materials = pack_materials(scene)
-    mat_type_np = np.asarray(materials["type"])
-    emission_np = np.asarray(materials["emission"])
+    lights, num_lights = _build_lights(scene, geo)
 
     sky = scene.sky.data if scene.sky is not None else np.zeros((1, 1, 3), np.float32)
 
-    # Kulla-Conty energy-compensation LUTs: baked only when a material needs
-    # them (reference bakes unconditionally at startup, Pathtracer.cpp:182).
     from gpu_raytracer_tpu.ops import kulla_conty
 
     if scene.has_dielectric or scene.has_conductor:
@@ -165,13 +248,7 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
         luts = kulla_conty.placeholder_luts()
 
     return {
-        "luts": luts,
-        "nodes": {
-            "min": jnp.asarray(bvh.node_min),
-            "max": jnp.asarray(bvh.node_max),
-            "left": jnp.asarray(bvh.node_left),
-            "count": jnp.asarray(bvh.node_count),
-        },
+        "nodes": nodes,
         "tris": {
             "p0": jnp.asarray(pos[:, 0]),
             "e1": jnp.asarray(pos[:, 1] - pos[:, 0]),
@@ -182,11 +259,38 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
             "uv0": jnp.asarray(tris_leaf.uvs[:, 0]),
             "uv1": jnp.asarray(tris_leaf.uvs[:, 1]),
             "uv2": jnp.asarray(tris_leaf.uvs[:, 2]),
-            "material": jnp.asarray(tri_material),
         },
+        "instances": _pack_instances(scene, geo),
         "materials": materials,
         "mediums": pack_mediums(scene),
-        "lights": build_light_cdf(tris_leaf, tri_material, mat_type_np, emission_np),
+        "lights": lights,
+        "luts": luts,
         "sky": jnp.asarray(sky),
         "sky_scale": jnp.float32(scene.sky.scale if scene.sky else 1.0),
     }
+
+
+def refresh_tlas(buffers: dict, scene: Scene) -> dict:
+    """Per-frame TLAS + instance-table refresh after scene-graph updates
+    (reference: Integrator::build_tlas per frame). Shapes are unchanged, so
+    jitted pipelines keep their compilations."""
+    geo: GeometryCache = scene._geometry_cache
+    wmin, wmax = instance_world_aabbs(scene)
+    t_min, t_max_, t_left, t_count = build_tlas(wmin, wmax)
+    size = geo.tlas_size
+
+    nodes = dict(buffers["nodes"])
+    nodes["min"] = nodes["min"].at[:size].set(jnp.asarray(t_min))
+    nodes["max"] = nodes["max"].at[:size].set(jnp.asarray(t_max_))
+    nodes["left"] = nodes["left"].at[:size].set(jnp.asarray(t_left))
+    nodes["count"] = nodes["count"].at[:size].set(jnp.asarray(t_count))
+
+    out = dict(buffers)
+    out["nodes"] = nodes
+    out["instances"] = _pack_instances(scene, geo)
+    lights, _ = _build_lights(scene, geo)
+    # Light CDF shape changes only if light materials changed; that path goes
+    # through a full rebuild (invalidated_materials).
+    if lights["tri"].shape == buffers["lights"]["tri"].shape:
+        out["lights"] = lights
+    return out

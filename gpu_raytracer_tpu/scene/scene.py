@@ -121,7 +121,17 @@ class Scene:
         key = cache_key or filename
         if key in self._mesh_data_cache:
             return self._mesh_data_cache[key]
-        triangles = loader(filename)
+        try:
+            triangles = loader(filename)
+        except (OSError, ValueError) as exc:
+            # Degrade gracefully like the reference (dummy triangle for
+            # unloadable meshes, AssetManager.cpp:66-79) instead of aborting
+            # the whole scene load.
+            print(f"WARNING: failed to load mesh {filename!r}: {exc}")
+            dummy = np.zeros((1, 3, 3), np.float32)
+            dummy[0, 1, 0] = 1e-6
+            dummy[0, 2, 1] = 1e-6
+            triangles = TriangleData(dummy)
         handle = self.add_mesh_data(triangles, name=os.path.basename(filename))
         self._mesh_data_cache[key] = handle
         return handle

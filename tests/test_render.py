@@ -15,7 +15,7 @@ from gpu_raytracer_tpu.assets import geometry  # noqa: E402
 from gpu_raytracer_tpu.config import CPUConfig, GPUConfig  # noqa: E402
 from gpu_raytracer_tpu.integrators.pathtracer import render_wave  # noqa: E402
 from gpu_raytracer_tpu.ops.buffers import build_scene_buffers  # noqa: E402
-from gpu_raytracer_tpu.ops.traverse import trace_any, trace_closest  # noqa: E402
+from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas  # noqa: E402
 from gpu_raytracer_tpu.scene import Scene  # noqa: E402
 from gpu_raytracer_tpu.scene.types import Material, MaterialType  # noqa: E402
 from gpu_raytracer_tpu.core import transform as xf  # noqa: E402
@@ -54,10 +54,11 @@ class TestTraversalJAX:
         o[:, 1] = rng.uniform(0.1, 1.9, R)
         d = rng.standard_normal((R, 3)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        hit = trace_closest(bufs["nodes"], bufs["tris"], jnp.asarray(o), jnp.asarray(d),
-                            jnp.full(R, jnp.inf))
+        hit = trace_closest_tlas(bufs["nodes"], bufs["tris"], bufs["instances"],
+                                 jnp.asarray(o), jnp.asarray(d), jnp.full(R, jnp.inf))
         t = np.asarray(hit.t)
         tri = np.asarray(hit.tri)
+        inst = np.asarray(hit.inst)
         for i in range(R):
             t_ref, tri_ref, _, _ = intersect_tris_brute(o[i], d[i], p0, e1, e2)
             if tri_ref < 0:
@@ -65,6 +66,7 @@ class TestTraversalJAX:
             else:
                 assert t[i] == pytest.approx(t_ref, rel=1e-4), i
                 assert tri[i] == tri_ref, i
+                assert inst[i] >= 0
 
     def test_any_hit_consistent_with_closest(self, cornell):
         scene, bufs = cornell
@@ -75,9 +77,10 @@ class TestTraversalJAX:
         d = rng.standard_normal((R, 3)).astype(np.float32)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         t_max = jnp.full(R, 1.5)
-        hit = trace_closest(bufs["nodes"], bufs["tris"], jnp.asarray(o), jnp.asarray(d),
-                            t_max)
-        occ = trace_any(bufs["nodes"], bufs["tris"], jnp.asarray(o), jnp.asarray(d), t_max)
+        hit = trace_closest_tlas(bufs["nodes"], bufs["tris"], bufs["instances"],
+                                 jnp.asarray(o), jnp.asarray(d), t_max)
+        occ = trace_any_tlas(bufs["nodes"], bufs["tris"], bufs["instances"],
+                             jnp.asarray(o), jnp.asarray(d), t_max)
         closest_hit = np.asarray(hit.tri) >= 0
         np.testing.assert_array_equal(np.asarray(occ), closest_hit)
 
@@ -85,7 +88,8 @@ class TestTraversalJAX:
         scene, bufs = cornell
         o = jnp.zeros((8, 3), jnp.float32)
         d = jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (8, 1))
-        hit = trace_closest(bufs["nodes"], bufs["tris"], o, d, jnp.zeros(8))
+        hit = trace_closest_tlas(bufs["nodes"], bufs["tris"], bufs["instances"],
+                                 o, d, jnp.zeros(8))
         assert np.all(np.asarray(hit.tri) == -1)
 
 
