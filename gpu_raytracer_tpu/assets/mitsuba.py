@@ -60,6 +60,12 @@ def load(filename: str, scene) -> None:
     _walk(root, ctx)
 
 
+def _join(path: str, rel: str) -> str:
+    """Join with Windows-backslash normalization (Sponza's scene.xml uses
+    'textures\\\\lion.tga' style relative paths)."""
+    return os.path.join(path, rel.replace("\\", "/"))
+
+
 class _Context:
     def __init__(self, scene, path: str):
         self.scene = scene
@@ -182,7 +188,7 @@ def _parse_texture(node, ctx: _Context, rgb: np.ndarray) -> Tuple[int, np.ndarra
 
     if ttype == "bitmap":
         rel = _child_by_name(node, "filename").get("value")
-        filename = os.path.join(ctx.path, rel)
+        filename = _join(ctx.path, rel)
         handle = ctx.scene.add_texture(filename)
         tid = node.get("id")
         if tid:
@@ -356,7 +362,7 @@ def _parse_shape(node, ctx: _Context):
 
     if stype in ("obj", "ply"):
         rel = _child_by_name(node, "filename").get("value")
-        filename = os.path.join(ctx.path, rel)
+        filename = _join(ctx.path, rel)
         if stype == "obj":
             handle = scene.add_mesh_data_from_file(filename, obj.load)
         else:
@@ -393,7 +399,7 @@ def _parse_shape(node, ctx: _Context):
         from gpu_raytracer_tpu.assets import serialized
 
         rel = _child_by_name(node, "filename").get("value")
-        filename = os.path.join(ctx.path, rel)
+        filename = _join(ctx.path, rel)
         shape_index = _child_int(node, "shapeIndex", 0)
         handle = scene.add_mesh_data_from_file(
             filename, lambda f: serialized.load(f, shape_index),
@@ -404,7 +410,7 @@ def _parse_shape(node, ctx: _Context):
         from gpu_raytracer_tpu.assets import mitshair
 
         rel = _child_by_name(node, "filename").get("value")
-        filename = os.path.join(ctx.path, rel)
+        filename = _join(ctx.path, rel)
         radius = _child_float(node, "radius", 0.0025)
         handle = scene.add_mesh_data_from_file(
             filename, lambda f: mitshair.load(f, radius),
@@ -439,7 +445,7 @@ def _walk(node, ctx: _Context) -> None:
             _parse_top_level_emitter(child, ctx)
         elif tag == "include":
             rel = child.get("filename")
-            load(os.path.join(ctx.path, rel), scene)
+            load(_join(ctx.path, rel), scene)
         else:
             _walk(child, ctx)
 
@@ -535,7 +541,7 @@ def _parse_top_level_emitter(node, ctx: _Context) -> None:
             print("WARNING: emitter without id not attached to geometry")
     elif etype == "envmap":
         rel = _child_by_name(node, "filename").get("value")
-        scene.sky_filename = os.path.join(ctx.path, rel)
+        scene.sky_filename = _join(ctx.path, rel)
     elif etype == "point":
         radius = 1e-4
         m = _parse_transform_matrix(node) @ np.diag([radius, radius, radius, 1.0]).astype(np.float32)

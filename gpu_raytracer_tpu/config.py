@@ -108,6 +108,7 @@ class GPUConfig:
     reconstruction_filter: ReconstructionFilter = ReconstructionFilter.GAUSSIAN
     aov_mask: int = int(AOV.RADIANCE)
     num_bounces: int = 10
+    enable_mipmapping: bool = True  # ray-cone texture LOD (reference Common.h)
     enable_nee: bool = True            # next-event estimation
     enable_mis: bool = True            # multiple importance sampling
     enable_russian_roulette: bool = True

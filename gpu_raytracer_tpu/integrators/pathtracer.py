@@ -58,6 +58,32 @@ def _offset_origin(point, direction, geometric_normal):
     return point + sign * EPSILON * geometric_normal
 
 
+def _affine_point(cols, idx, v):
+    """cols: (12, I) component-major affine table; idx: (R,); v: (R, 3)."""
+    from gpu_raytracer_tpu.ops.vec import affine12_point
+
+    out = affine12_point(cols, idx, (v[..., 0], v[..., 1], v[..., 2]))
+    return jnp.stack(out, axis=-1)
+
+
+def _affine_dir(cols, idx, v):
+    from gpu_raytracer_tpu.ops.vec import affine12_dir
+
+    out = affine12_dir(cols, idx, (v[..., 0], v[..., 1], v[..., 2]))
+    return jnp.stack(out, axis=-1)
+
+
+def _affine_normal(inv_cols, idx, n):
+    """Inverse-transpose transform: n'_j = sum_i inv[i, j] * n_i."""
+    m = [inv_cols[j][idx] for j in range(12)]
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    return normalize(jnp.stack([
+        m[0] * x + m[4] * y + m[8] * z,
+        m[1] * x + m[5] * y + m[9] * z,
+        m[2] * x + m[6] * y + m[10] * z,
+    ], axis=-1))
+
+
 def _interpolate_hit(tris, instances, hit):
     """Reconstruct position/normals/uv from barycentrics in object space and
     transform into world space with the hit instance's matrices (reference:
@@ -66,33 +92,30 @@ def _interpolate_hit(tris, instances, hit):
     ii = jnp.maximum(hit.inst, 0)
     u = hit.u[:, None]
     v = hit.v[:, None]
-    p0 = tris["p0"][ti]
-    e1 = tris["e1"][ti]
-    e2 = tris["e2"][ti]
-    fwd = instances["transform"][ii]      # (R, 3, 4)
-    inv = instances["transform_inv"][ii]
+    g = tris["geo_T"]
+    p0 = jnp.stack([g[0][ti], g[1][ti], g[2][ti]], axis=-1)
+    e1 = jnp.stack([g[3][ti], g[4][ti], g[5][ti]], axis=-1)
+    e2 = jnp.stack([g[6][ti], g[7][ti], g[8][ti]], axis=-1)
 
     p_obj = p0 + u * e1 + v * e2
-    point = jnp.einsum("rij,rj->ri", fwd[:, :, :3], p_obj) + fwd[:, :, 3]
+    point = _affine_point(instances["fwd_T"], ii, p_obj)
 
-    # Normals transform by the inverse-transpose: n'_j = sum_i inv[i, j] n_i.
-    def n_to_world(n):
-        return normalize(jnp.einsum("rij,ri->rj", inv[:, :, :3], n))
-
-    geom_n = n_to_world(jnp.cross(e1, e2))
+    geom_n = _affine_normal(instances["inv_T"], ii, jnp.cross(e1, e2))
     n0 = tris["n0"][ti]
     n1 = tris["n1"][ti]
     n2 = tris["n2"][ti]
-    shading_n = n_to_world((1.0 - u - v) * n0 + u * n1 + v * n2)
+    shading_n = _affine_normal(instances["inv_T"], ii, (1.0 - u - v) * n0 + u * n1 + v * n2)
     uv = (1.0 - u - v) * tris["uv0"][ti] + u * tris["uv1"][ti] + v * tris["uv2"][ti]
-    return point, geom_n, shading_n, uv
+    return point, geom_n, shading_n, uv, p_obj, e1, e2
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "width", "seed", "has_lights", "with_stats"))
+                   static_argnames=("config", "width", "seed", "has_lights",
+                                    "with_stats", "has_textures", "with_aovs"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
-                has_lights: bool = True, with_stats: bool = False):
+                has_lights: bool = True, with_stats: bool = False,
+                has_textures: bool = False, with_aovs: bool = False):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -113,7 +136,24 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     alive = jnp.ones(R, bool)
     prev_allow_nee = jnp.zeros(R, bool)  # primary rays: emissive hits count fully
     last_pdf = jnp.ones(R, jnp.float32)
+    # AOV accumulators (reference: Src/CUDA/AOV.h; direct = emission reaching
+    # the camera through <= 1 scattering event, the reference's bounce<=1 rule
+    # for emissive hits and bounce==0 rule for NEE shadow rays). When SVGF
+    # demodulation is on, the primary albedo is divided back out of the path
+    # (reference: calc_albedo skips the throughput multiply at bounce 0).
+    demodulate = with_aovs and config.enable_svgf and config.modulate_albedo
+    direct = jnp.zeros((R, 3), jnp.float32)
+    aov_albedo = jnp.ones((R, 3), jnp.float32)
+    aov_normal = jnp.zeros((R, 3), jnp.float32)
+    aov_position = jnp.zeros((R, 3), jnp.float32)
+    aov_depth = jnp.full((R,), jnp.inf, jnp.float32)
+    aov_instance = jnp.full((R,), -1, jnp.int32)
+    aov_position_prev = jnp.zeros((R, 3), jnp.float32)
     rays_traced = jnp.zeros((), jnp.float32)  # primary+bounce+shadow ray count
+    # Ray cones for texture LOD (reference: Src/CUDA/RayCone.h; angle starts
+    # at the camera's per-pixel spread, width grows by angle*t per segment).
+    cone_angle = jnp.broadcast_to(camera["pixel_spread_angle"], (R,))
+    cone_width = jnp.zeros(R, jnp.float32)
 
     for bounce in range(config.num_bounces):
         rays_traced = rays_traced + jnp.sum(alive)
@@ -123,7 +163,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # ---- sky on miss (reference: Pathtracer.cu:328-343) ----
         missed = alive & (hit.tri < 0)
         sky_radiance = sample_sky(buffers["sky"], buffers["sky_scale"], ray_d)
-        radiance = radiance + jnp.where(missed[:, None], throughput * sky_radiance, 0.0)
+        sky_contrib = jnp.where(missed[:, None], throughput * sky_radiance, 0.0)
+        radiance = radiance + sky_contrib
+        if with_aovs and bounce <= 1:
+            direct = direct + sky_contrib
         alive = alive & ~missed
 
         # ---- material fetch (instance material wins, like the reference's
@@ -138,9 +181,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         is_light = alive & (mat_type == int(MaterialType.LIGHT))
         if nee_possible:
             # World-space geometric light normal for the solid-angle pdf.
-            inv_hit = instances["transform_inv"][ii]
-            light_gn = normalize(jnp.einsum(
-                "rij,ri->rj", inv_hit[:, :, :3], jnp.cross(tris["e1"][ti], tris["e2"][ti])))
+            light_gn = _affine_normal(
+                instances["inv_T"], ii, jnp.cross(tris["e1"][ti], tris["e2"][ti]))
             cos_light = jnp.abs(jnp.sum(ray_d * light_gn, axis=-1))
             light_pdf = (luminance(emission) * hit.t * hit.t
                          / jnp.maximum(cos_light * lights["total_weight"], 1e-20))
@@ -156,7 +198,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             light_contrib = throughput * emission * mis_w[:, None]
         else:
             light_contrib = throughput * emission
-        radiance = radiance + jnp.where(is_light[:, None], light_contrib, 0.0)
+        light_add = jnp.where(is_light[:, None], light_contrib, 0.0)
+        radiance = radiance + light_add
+        if with_aovs and bounce <= 1:
+            direct = direct + light_add
         alive = alive & ~is_light
 
         # ---- russian roulette / bounce cap (reference: Pathtracer.cu:199-218) ----
@@ -171,7 +216,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             throughput = throughput / jnp.maximum(survival, 1e-8)[:, None]
 
         # ---- surface shading (reference: Pathtracer.cu shade_material) ----
-        point, geom_n, shading_n, uv = _interpolate_hit(tris, instances, hit)
+        point, geom_n, shading_n, uv, p_obj, e1_obj, e2_obj = _interpolate_hit(tris, instances, hit)
         # Two-sided handling: `entering` tracks which side of the surface the
         # ray arrived on (drives dielectric eta); the frame is flipped into
         # the incident hemisphere (reference: Pathtracer.cu:643-650).
@@ -194,12 +239,58 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             "k": materials["k"][mat_id],
         }
         albedo = materials["diffuse"][mat_id]
+        if has_textures and config.enable_mipmapping:
+            # Ray-cone isotropic texture LOD (reference: RayCone.h
+            # sample_albedo iso path + Triangle.h triangle_get_lod). The
+            # reference switches to anisotropic gradients at bounce 0; the
+            # isotropic cone is used at every bounce here (deviation noted
+            # in docs — gradients need the ellipse-axis projection).
+            cone_width = cone_width + cone_angle * jnp.where(alive, hit.t, 0.0)
+            tex_id = materials["texture"][mat_id]
+            e1w = _affine_dir(instances["fwd_T"], ii, e1_obj)
+            e2w = _affine_dir(instances["fwd_T"], ii, e2_obj)
+            double_area_world = jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
+            uv_e1 = tris["uv1"][ti] - tris["uv0"][ti]
+            uv_e2 = tris["uv2"][ti] - tris["uv0"][ti]
+            double_area_tex = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1]
+                                      - uv_e2[:, 0] * uv_e1[:, 1])
+            lod_tri = jnp.sqrt(double_area_tex
+                               / jnp.maximum(double_area_world, 1e-20))
+            lod_cone = jnp.abs(cone_width / jnp.minimum(
+                jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
+            tidc = jnp.maximum(tex_id, 0)
+            mip = (buffers["textures"]["base_lod"][tidc]
+                   + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
+            from gpu_raytracer_tpu.ops.textures import sample_bilinear_lod
+
+            tex_rgb = sample_bilinear_lod(buffers["textures"], tex_id,
+                                          uv[:, 0], uv[:, 1], mip)
+            albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
         # Diffuse folds albedo into throughput once at the hit (reference
         # calc_albedo); plastic's diffuse lobe owns its albedo internally.
+        # SVGF demodulation skips the fold at bounce 0 and re-modulates after
+        # filtering (reference: BSDF.h calc_albedo svgf branch).
         is_diffuse = mat_type == int(MaterialType.DIFFUSE)
-        throughput = jnp.where((alive & is_diffuse)[:, None],
-                               throughput * albedo, throughput)
+        fold_albedo = alive & is_diffuse
+        if demodulate and bounce == 0:
+            fold_albedo = jnp.zeros_like(fold_albedo)
+        throughput = jnp.where(fold_albedo[:, None], throughput * albedo, throughput)
         can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"])
+
+        if with_aovs and bounce == 0:
+            # Primary-hit G-buffer (reference: svgf_set_gbuffers SVGF.h:61-81
+            # + ALBEDO/NORMAL/POSITION AOVs).
+            hit_ok = alive
+            aov_albedo = jnp.where((hit_ok & (is_diffuse | (mat_type == int(MaterialType.PLASTIC))))[:, None],
+                                   albedo, aov_albedo)
+            aov_normal = jnp.where(hit_ok[:, None], shading_n, aov_normal)
+            aov_position = jnp.where(hit_ok[:, None], point, aov_position)
+            aov_depth = jnp.where(hit_ok, hit.t, aov_depth)
+            aov_instance = jnp.where(hit_ok, hit.inst, aov_instance)
+            # Previous-frame world position for motion vectors (reference:
+            # per-mesh transform_prev, Integrator.cpp:422).
+            point_prev = _affine_point(instances["prev_T"], ii, p_obj)
+            aov_position_prev = jnp.where(hit_ok[:, None], point_prev, point)
 
         # ---- next-event estimation (reference: Pathtracer.cu:466-555) ----
         if nee_possible:
@@ -213,10 +304,13 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             lt = lights["tri"][k]
             li = lights["inst"][k]
             lu, lv = sample_triangle_barycentric(u_b1, u_b2)
-            lfwd = instances["transform"][li]
-            le1 = jnp.einsum("rij,rj->ri", lfwd[:, :, :3], tris["e1"][lt])
-            le2 = jnp.einsum("rij,rj->ri", lfwd[:, :, :3], tris["e2"][lt])
-            lp0 = jnp.einsum("rij,rj->ri", lfwd[:, :, :3], tris["p0"][lt]) + lfwd[:, :, 3]
+            lg = tris["geo_T"]
+            le1 = _affine_dir(instances["fwd_T"], li,
+                              jnp.stack([lg[3][lt], lg[4][lt], lg[5][lt]], -1))
+            le2 = _affine_dir(instances["fwd_T"], li,
+                              jnp.stack([lg[6][lt], lg[7][lt], lg[8][lt]], -1))
+            lp0 = _affine_point(instances["fwd_T"], li,
+                                jnp.stack([lg[0][lt], lg[1][lt], lg[2][lt]], -1))
             light_point = lp0 + lu[:, None] * le1 + lv[:, None] * le2
             light_gn = normalize(jnp.cross(le1, le2))
             light_emission = materials["emission"][instances["material_id"][li]]
@@ -245,7 +339,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                       jnp.where(want_shadow, dist - 2 * EPSILON,
                                                 jnp.float32(0.0)))
             add = want_shadow & ~occluded
-            radiance = radiance + jnp.where(add[:, None], illumination, 0.0)
+            nee_add = jnp.where(add[:, None], illumination, 0.0)
+            radiance = radiance + nee_add
+            if with_aovs and bounce == 0:
+                direct = direct + nee_add
 
         # ---- BSDF sample -> continuation ray (reference: Pathtracer.cu:745-756) ----
         u_f0 = rng.random_float(2 * rng.SampleDimension.BSDF_0, pixel_index,
@@ -273,6 +370,22 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     bad = ~jnp.all(jnp.isfinite(radiance), axis=-1)
     magenta = jnp.array([1.0, 0.0, 1.0], jnp.float32)
     radiance = jnp.where(bad[:, None], magenta, radiance)
+    if with_aovs:
+        aovs = {
+            "radiance": radiance,
+            "direct": jnp.where(bad[:, None], 0.0, direct),
+            "indirect": jnp.where(bad[:, None], magenta,
+                                  jnp.maximum(radiance - direct, 0.0)),
+            "albedo": aov_albedo,
+            "normal": aov_normal,
+            "position": aov_position,
+            "position_prev": aov_position_prev,
+            "depth": aov_depth,
+            "instance": aov_instance,
+        }
+        if with_stats:
+            return aovs, rays_traced
+        return aovs
     if with_stats:
         return radiance, rays_traced
     return radiance
@@ -353,7 +466,8 @@ class Pathtracer:
             idx = jnp.minimum(idx, num_pixels - 1)  # tail wave: clamp (dup work)
             colors = render_wave(self.buffers, camera, idx, self.sample_index,
                                  self.gpu_config, self.width, self.cpu_config.seed,
-                                 self.scene.has_lights)
+                                 self.scene.has_lights,
+                                 has_textures=len(self.scene.textures) > 0)
             count = min(wave, num_pixels - offset)
             frame = jax.lax.dynamic_update_slice(frame, colors[:count], (offset, 0))
 
@@ -364,6 +478,60 @@ class Pathtracer:
         for _ in range(n):
             self.render()
         return self.framebuffer()
+
+    # -- SVGF + TAA interactive path (1 spp per frame, denoised) -------------
+
+    def render_frame_denoised(self) -> np.ndarray:
+        """One 1-spp frame through SVGF (+TAA): the reference's interactive
+        mode (Pathtracer.cpp render() SVGF branch + svgf_* kernels)."""
+        from gpu_raytracer_tpu.ops import svgf as svgf_ops
+        from gpu_raytracer_tpu.ops import taa as taa_ops
+
+        if self.buffers is None:
+            self.init_device()
+        H, W = self.height, self.width
+        if getattr(self, "_svgf_history", None) is None:
+            self._svgf_history = svgf_ops.init_history(H, W)
+            self._taa_prev = None
+            self._vp_prev = jnp.asarray(self.scene.camera.view_projection)
+
+        camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
+        idx = jnp.arange(W * H, dtype=jnp.int32)
+        aovs = render_wave(self.buffers, camera, idx, self.sample_index,
+                           self.gpu_config, W, self.cpu_config.seed,
+                           self.scene.has_lights,
+                           has_textures=len(self.scene.textures) > 0,
+                           with_aovs=True)
+        self.sample_index += 1
+
+        def img(x):
+            return x.reshape((H, W) + x.shape[1:])
+
+        frame = {
+            "direct": img(aovs["direct"]),
+            "indirect": img(aovs["indirect"]),
+            "albedo": img(aovs["albedo"]),
+            "normal": img(aovs["normal"]),
+            "depth": img(aovs["depth"]),
+            "instance": img(aovs["instance"]),
+            "position_prev": img(aovs["position_prev"]),
+        }
+        colour, self._svgf_history = svgf_ops.svgf_step(
+            frame, self._svgf_history, self._vp_prev, self.gpu_config)
+        self._vp_prev = jnp.asarray(self.scene.camera.view_projection)
+
+        if self.gpu_config.enable_taa:
+            taa_in = taa_ops.to_taa_space(jnp.maximum(colour, 0.0))
+            if self._taa_prev is None:
+                self._taa_prev = taa_in
+            screen_prev = svgf_ops.project_to_screen(
+                frame["position_prev"], self._vp_prev, W, H)
+            taa_out = taa_ops.taa_step(taa_in, self._taa_prev, screen_prev)
+            self._taa_prev = taa_out
+            colour = taa_ops.from_taa_space(taa_out)
+
+        self.accumulator = colour.reshape(-1, 3)
+        return np.asarray(colour)
 
     def framebuffer(self) -> np.ndarray:
         """(H, W, 3) float32 HDR frame."""

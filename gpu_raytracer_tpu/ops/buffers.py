@@ -80,6 +80,37 @@ def pack_mediums(scene: Scene) -> dict:
             "g": jnp.asarray(g)}
 
 
+def _pack_nodes(node_min, node_max, node_left, node_count) -> dict:
+    """Device node layout, tuned for TPU gather economics: every while-loop
+    iteration fetches ONE (N, 12) row of the popped node's CHILD AABBs plus
+    one (N, 2) int row (left, count) — instead of 6+ separate column gathers
+    (measured ~7x cheaper; see tools/profile_traversal.py findings).
+
+    Leaf and instance-leaf rows carry empty (never-hit) child boxes."""
+    n = node_min.shape[0]
+    child_aabb = np.full((n, 12), np.inf, np.float32)
+    child_aabb[:, 3:6] = -np.inf
+    child_aabb[:, 9:12] = -np.inf
+    interior = node_count == 0
+    l = np.where(interior, node_left, 0)
+    child_aabb[interior, 0:3] = node_min[l[interior]]
+    child_aabb[interior, 3:6] = node_max[l[interior]]
+    child_aabb[interior, 6:9] = node_min[l[interior] + 1]
+    child_aabb[interior, 9:12] = node_max[l[interior] + 1]
+    return {
+        # Component-major (12, N): row j is a contiguous (N,) gather source;
+        # the traversal fetches child AABBs as 12 flat scalar gathers.
+        "child_aabb_T": jnp.asarray(child_aabb.T.copy()),
+        # Root AABB for the pre-test + host-side tools.
+        "root_min": jnp.asarray(node_min[0]),
+        "root_max": jnp.asarray(node_max[0]),
+        "min": jnp.asarray(node_min),
+        "max": jnp.asarray(node_max),
+        "left": jnp.asarray(node_left.astype(np.int32)),
+        "count": jnp.asarray(node_count.astype(np.int32)),
+    }
+
+
 class GeometryCache:
     """Host-side record of the aggregated BLAS layout, kept so TLAS refreshes
     and light-CDF rebuilds don't re-aggregate geometry."""
@@ -159,6 +190,13 @@ def _pack_instances(scene: Scene, geo: GeometryCache):
         "transform": jnp.asarray(transform),
         "transform_inv": jnp.asarray(transform_inv),
         "transform_prev": jnp.asarray(transform_prev),
+        # Flattened transforms for elementwise affine math (batched (R,3,4)
+        # einsums lower to padded tiny matmuls on the MXU — measured 7 ms per
+        # traversal iteration; 12 scalar FMAs are ~free on the VPU).
+        # Component-major (12, I) affine tables: scalar gathers + FMAs only.
+        "inv_T": jnp.asarray(transform_inv.reshape(I, 12).T.copy()),
+        "fwd_T": jnp.asarray(transform.reshape(I, 12).T.copy()),
+        "prev_T": jnp.asarray(transform_prev.reshape(I, 12).T.copy()),
         "material_id": jnp.asarray(material_id),
         "blas_root": jnp.asarray(blas_root),
     }
@@ -224,12 +262,12 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     wmin, wmax = instance_world_aabbs(scene)
     t_min, t_max_, t_left, t_count = build_tlas(wmin, wmax, sah_cost_node, sah_cost_leaf)
 
-    nodes = {
-        "min": jnp.asarray(np.concatenate([t_min, blas["min"]], axis=0)),
-        "max": jnp.asarray(np.concatenate([t_max_, blas["max"]], axis=0)),
-        "left": jnp.asarray(np.concatenate([t_left, blas["left"]], axis=0)),
-        "count": jnp.asarray(np.concatenate([t_count, blas["count"]], axis=0)),
-    }
+    nodes = _pack_nodes(
+        np.concatenate([t_min, blas["min"]], axis=0),
+        np.concatenate([t_max_, blas["max"]], axis=0),
+        np.concatenate([t_left, blas["left"]], axis=0),
+        np.concatenate([t_count, blas["count"]], axis=0),
+    )
 
     pos = tris_leaf.positions
     # Per-triangle material id (object-space; needed for light lookups when a
@@ -247,9 +285,32 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     else:
         luts = kulla_conty.placeholder_luts()
 
+    # Texture pool: decode + mip every referenced texture (reference:
+    # Integrator::init_materials texture upload, Integrator.cpp:42-98).
+    from gpu_raytracer_tpu.assets.texture import generate_mips, load_image
+    from gpu_raytracer_tpu.ops.textures import pack_texture_pool
+
+    mip_filter = scene.config.mipmap_filter if scene.config else None
+    chains = []
+    for slot in scene.textures:
+        if slot.data is None:
+            slot.data = load_image(slot.filename)
+        if scene.config and scene.config.enable_mipmapping:
+            chains.append(generate_mips(slot.data, mip_filter))
+        else:
+            chains.append([slot.data])
+    textures = pack_texture_pool(chains)
+
+    packed_tris = np.concatenate(
+        [pos[:, 0], pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]], axis=-1)
+
     return {
+        "textures": textures,
         "nodes": nodes,
         "tris": {
+            # Component-major (9, T) [p0|e1|e2]: the leaf phase fetches each
+            # triangle as 9 flat scalar gathers (TPU-efficient layout).
+            "geo_T": jnp.asarray(packed_tris.astype(np.float32).T.copy()),
             "p0": jnp.asarray(pos[:, 0]),
             "e1": jnp.asarray(pos[:, 1] - pos[:, 0]),
             "e2": jnp.asarray(pos[:, 2] - pos[:, 0]),
@@ -279,11 +340,14 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
     t_min, t_max_, t_left, t_count = build_tlas(wmin, wmax)
     size = geo.tlas_size
 
+    packed = _pack_nodes(t_min, t_max_, t_left, t_count)
     nodes = dict(buffers["nodes"])
-    nodes["min"] = nodes["min"].at[:size].set(jnp.asarray(t_min))
-    nodes["max"] = nodes["max"].at[:size].set(jnp.asarray(t_max_))
-    nodes["left"] = nodes["left"].at[:size].set(jnp.asarray(t_left))
-    nodes["count"] = nodes["count"].at[:size].set(jnp.asarray(t_count))
+    for key in ("min", "max", "left", "count"):
+        nodes[key] = nodes[key].at[:size].set(packed[key])
+    nodes["child_aabb_T"] = nodes["child_aabb_T"].at[:, :size].set(
+        packed["child_aabb_T"])
+    nodes["root_min"] = packed["root_min"]
+    nodes["root_max"] = packed["root_max"]
 
     out = dict(buffers)
     out["nodes"] = nodes

@@ -1,0 +1,343 @@
+"""SVGF: spatiotemporal variance-guided filtering (Schied et al. 2017;
+reference: Src/CUDA/SVGF/SVGF.h — re-designed as fused image-space JAX
+stages).
+
+Pipeline per frame (reference SVGF.h:130-609):
+  reproject -> [spatial variance while history < 4] -> atrous x N -> finalize
+
+All stages are (H, W) stencil math; neighborhood taps use padded static
+slicing (XLA fuses the shifts into one pass per stage). History is an
+explicit pytree threaded by the integrator — the functional version of the
+reference's ping-pong device buffers.
+
+Direct and indirect illumination are filtered side by side as one (H, W, 8)
+tensor block ([direct rgb | indirect rgb | 2 luminance moments]) — the TPU
+prefers one fat fused stencil over the reference's separate float4 surfaces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu.ops.sampling import luminance
+
+
+class SVGFHistory(NamedTuple):
+    direct: jnp.ndarray        # (H, W, 3) integrated direct illumination
+    indirect: jnp.ndarray      # (H, W, 3)
+    moments: jnp.ndarray       # (H, W, 4) mu1/mu2 for direct & indirect luma
+    length: jnp.ndarray        # (H, W) frames accumulated
+    normal: jnp.ndarray        # (H, W, 3) previous normals
+    depth: jnp.ndarray         # (H, W) previous depth
+    instance: jnp.ndarray      # (H, W) previous instance ids
+
+
+def init_history(height: int, width: int) -> SVGFHistory:
+    return SVGFHistory(
+        direct=jnp.zeros((height, width, 3), jnp.float32),
+        indirect=jnp.zeros((height, width, 3), jnp.float32),
+        moments=jnp.zeros((height, width, 4), jnp.float32),
+        length=jnp.zeros((height, width), jnp.float32),
+        normal=jnp.zeros((height, width, 3), jnp.float32),
+        depth=jnp.full((height, width), jnp.inf, jnp.float32),
+        instance=jnp.full((height, width), -1, jnp.int32),
+    )
+
+
+def _shift(img, dy, dx):
+    """Static-offset neighborhood tap with edge clamping."""
+    H, W = img.shape[0], img.shape[1]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + \
+          [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    return padded[max(-dy, 0): max(-dy, 0) + H, max(-dx, 0): max(-dx, 0) + W]
+
+
+def project_to_screen(points, view_projection, width, height):
+    """World points (H, W, 3) -> screen pixel coords (H, W, 2) using the 4x4
+    column-vector view-projection (reference: svgf_reproject back-projection)."""
+    vp = view_projection
+    x = points[..., 0]
+    y = points[..., 1]
+    z = points[..., 2]
+    clip_x = vp[0, 0] * x + vp[0, 1] * y + vp[0, 2] * z + vp[0, 3]
+    clip_y = vp[1, 0] * x + vp[1, 1] * y + vp[1, 2] * z + vp[1, 3]
+    clip_w = vp[3, 0] * x + vp[3, 1] * y + vp[3, 2] * z + vp[3, 3]
+    w = jnp.where(jnp.abs(clip_w) < 1e-8, 1e-8, clip_w)
+    ndc_x = clip_x / w
+    ndc_y = clip_y / w
+    sx = (ndc_x * 0.5 + 0.5) * width
+    sy = (ndc_y * 0.5 + 0.5) * height
+    return jnp.stack([sx, sy], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("alpha", "alpha_moments"))
+def reproject(frame: dict, history: SVGFHistory, screen_prev,
+              alpha: float = 0.1, alpha_moments: float = 0.1):
+    """Temporal accumulation (reference: SVGF.h:130-282).
+
+    frame: dict with direct/indirect (H, W, 3), normal, depth, instance.
+    screen_prev: (H, W, 2) previous-frame pixel coords of this pixel's
+    surface point. Returns (integrated dict, new_history_length, moments).
+    """
+    H, W = frame["depth"].shape
+    direct = frame["direct"]
+    indirect = frame["indirect"]
+
+    mu = jnp.stack([
+        luminance(direct), luminance(direct) ** 2,
+        luminance(indirect), luminance(indirect) ** 2,
+    ], axis=-1)
+
+    # 2x2 bilinear taps at the reprojected position, each validated by
+    # normal/depth/instance consistency (reference: is_tap_consistent
+    # SVGF.h:83-98).
+    px = screen_prev[..., 0] - 0.5
+    py = screen_prev[..., 1] - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = px - x0
+    fy = py - y0
+
+    def tap(xi, yi, wgt):
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        in_bounds = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        n_prev = history.normal[yc, xc]
+        z_prev = history.depth[yc, xc]
+        i_prev = history.instance[yc, xc]
+        consistent = (jnp.sum(n_prev * frame["normal"], axis=-1) > 0.95) \
+            & (jnp.abs(z_prev - frame["depth"])
+               < 2.0 * jnp.maximum(frame["depth"] * 0.02, 1e-2)) \
+            & (i_prev == frame["instance"])
+        w = jnp.where(in_bounds & consistent, wgt, 0.0)
+        return (w, w[..., None] * history.direct[yc, xc],
+                w[..., None] * history.indirect[yc, xc],
+                w[..., None] * history.moments[yc, xc],
+                w * history.length[yc, xc])
+
+    taps = [
+        tap(x0, y0, (1 - fx) * (1 - fy)),
+        tap(x0 + 1, y0, fx * (1 - fy)),
+        tap(x0, y0 + 1, (1 - fx) * fy),
+        tap(x0 + 1, y0 + 1, fx * fy),
+    ]
+    w_sum = sum(t[0] for t in taps)
+    valid = w_sum > 1e-4
+    inv_w = 1.0 / jnp.maximum(w_sum, 1e-4)
+    prev_direct = sum(t[1] for t in taps) * inv_w[..., None]
+    prev_indirect = sum(t[2] for t in taps) * inv_w[..., None]
+    prev_moments = sum(t[3] for t in taps) * inv_w[..., None]
+    prev_length = sum(t[4] for t in taps) * inv_w
+
+    length = jnp.where(valid, prev_length + 1.0, 1.0)
+    # EMA with alpha clamped by 1/history (reference: SVGF.h:230-240).
+    a_c = jnp.maximum(alpha, 1.0 / length)[..., None]
+    a_m = jnp.maximum(alpha_moments, 1.0 / length)[..., None]
+
+    int_direct = jnp.where(valid[..., None],
+                           prev_direct + a_c * (direct - prev_direct), direct)
+    int_indirect = jnp.where(valid[..., None],
+                             prev_indirect + a_c * (indirect - prev_indirect), indirect)
+    int_moments = jnp.where(valid[..., None],
+                            prev_moments + a_m * (mu - prev_moments), mu)
+
+    # Temporal variance estimate once history >= 4 (reference SVGF.h:250-270).
+    var_direct = jnp.maximum(int_moments[..., 1] - int_moments[..., 0] ** 2, 0.0)
+    var_indirect = jnp.maximum(int_moments[..., 3] - int_moments[..., 2] ** 2, 0.0)
+
+    return {
+        "direct": int_direct,
+        "indirect": int_indirect,
+        "moments": int_moments,
+        "length": length,
+        "var_direct": var_direct,
+        "var_indirect": var_indirect,
+    }
+
+
+_GAUSS_3 = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]) / 16.0
+
+
+def _edge_weights(frame, dy, dx, sigma_z, sigma_n, sigma_l,
+                  center_l_direct, center_l_indirect, var_d, var_i, step=1):
+    """Shared edge-stopping weights (reference: SVGF.h:100-128)."""
+    n_c = frame["normal"]
+    z_c = frame["depth"]
+    n_q = _shift(frame["normal"], dy, dx)
+    z_q = _shift(frame["depth"], dy, dx)
+
+    w_n = jnp.maximum(jnp.sum(n_c * n_q, axis=-1), 0.0) ** sigma_n
+    dist = jnp.sqrt(jnp.float32(dy * dy + dx * dx)) * step
+    w_z = jnp.exp(-jnp.abs(z_c - z_q)
+                  / (sigma_z * jnp.maximum(frame["dz"] * dist, 1e-8)))
+
+    l_d_q = _shift(center_l_direct, dy, dx)
+    l_i_q = _shift(center_l_indirect, dy, dx)
+    w_l_d = jnp.exp(-jnp.abs(center_l_direct - l_d_q)
+                    / (sigma_l * jnp.sqrt(jnp.maximum(var_d, 0.0)) + 1e-8))
+    w_l_i = jnp.exp(-jnp.abs(center_l_indirect - l_i_q)
+                    / (sigma_l * jnp.sqrt(jnp.maximum(var_i, 0.0)) + 1e-8))
+
+    valid = jnp.isfinite(z_q)
+    base = jnp.where(valid, w_n * w_z, 0.0)
+    return base * w_l_d, base * w_l_i
+
+
+@partial(jax.jit, static_argnames=("sigma_z", "sigma_n", "sigma_l"))
+def spatial_variance(frame: dict, integrated: dict,
+                     sigma_z: float = 4.0, sigma_n: float = 16.0,
+                     sigma_l: float = 10.0):
+    """7x7 bilateral moment estimate for pixels with history < 4
+    (reference: SVGF.h:284-410)."""
+    l_d = luminance(integrated["direct"])
+    l_i = luminance(integrated["indirect"])
+
+    sum_w_d = jnp.zeros_like(l_d)
+    sum_w_i = jnp.zeros_like(l_i)
+    m_d = jnp.zeros(l_d.shape + (2,), jnp.float32)
+    m_i = jnp.zeros(l_i.shape + (2,), jnp.float32)
+    col_d = jnp.zeros_like(integrated["direct"])
+    col_i = jnp.zeros_like(integrated["indirect"])
+
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            w_d, w_i = _edge_weights(frame, dy, dx, sigma_z, sigma_n, sigma_l,
+                                     l_d, l_i,
+                                     jnp.ones_like(l_d), jnp.ones_like(l_i))
+            lq_d = _shift(l_d, dy, dx)
+            lq_i = _shift(l_i, dy, dx)
+            sum_w_d = sum_w_d + w_d
+            sum_w_i = sum_w_i + w_i
+            m_d = m_d + w_d[..., None] * jnp.stack([lq_d, lq_d * lq_d], -1)
+            m_i = m_i + w_i[..., None] * jnp.stack([lq_i, lq_i * lq_i], -1)
+            col_d = col_d + w_d[..., None] * _shift(integrated["direct"], dy, dx)
+            col_i = col_i + w_i[..., None] * _shift(integrated["indirect"], dy, dx)
+
+    inv_d = 1.0 / jnp.maximum(sum_w_d, 1e-8)
+    inv_i = 1.0 / jnp.maximum(sum_w_i, 1e-8)
+    mu_d = m_d * inv_d[..., None]
+    mu_i = m_i * inv_i[..., None]
+    var_d = jnp.maximum(mu_d[..., 1] - mu_d[..., 0] ** 2, 0.0)
+    var_i = jnp.maximum(mu_i[..., 1] - mu_i[..., 0] ** 2, 0.0)
+
+    use_spatial = integrated["length"] < 4.0
+    return {
+        **integrated,
+        "direct": jnp.where(use_spatial[..., None], col_d * inv_d[..., None],
+                            integrated["direct"]),
+        "indirect": jnp.where(use_spatial[..., None], col_i * inv_i[..., None],
+                              integrated["indirect"]),
+        "var_direct": jnp.where(use_spatial, var_d, integrated["var_direct"]),
+        "var_indirect": jnp.where(use_spatial, var_i, integrated["var_indirect"]),
+    }
+
+
+def _atrous_pass(frame, direct, indirect, var_d, var_i, step: int,
+                 sigma_z, sigma_n, sigma_l):
+    """One 3x3 box a-trous iteration with hole spacing `step`
+    (reference: SVGF.h:416-554; variance pre-blurred 3x3, filtered by w^2)."""
+    # 3x3 gaussian pre-blur of variance for the weight computation.
+    var_d_b = jnp.zeros_like(var_d)
+    var_i_b = jnp.zeros_like(var_i)
+    for dy in range(-1, 2):
+        for dx in range(-1, 2):
+            g = _GAUSS_3[dy + 1, dx + 1]
+            var_d_b = var_d_b + g * _shift(var_d, dy, dx)
+            var_i_b = var_i_b + g * _shift(var_i, dy, dx)
+
+    l_d = luminance(direct)
+    l_i = luminance(indirect)
+
+    sum_w_d = jnp.ones_like(l_d)
+    sum_w_i = jnp.ones_like(l_i)
+    out_d = direct.astype(jnp.float32)
+    out_i = indirect.astype(jnp.float32)
+    out_vd = var_d
+    out_vi = var_i
+    for dy in range(-1, 2):
+        for dx in range(-1, 2):
+            if dy == 0 and dx == 0:
+                continue
+            w_d, w_i = _edge_weights(frame, dy * step, dx * step,
+                                     sigma_z, sigma_n, sigma_l,
+                                     l_d, l_i, var_d_b, var_i_b, step=1)
+            out_d = out_d + w_d[..., None] * _shift(direct, dy * step, dx * step)
+            out_i = out_i + w_i[..., None] * _shift(indirect, dy * step, dx * step)
+            out_vd = out_vd + (w_d ** 2) * _shift(var_d, dy * step, dx * step)
+            out_vi = out_vi + (w_i ** 2) * _shift(var_i, dy * step, dx * step)
+            sum_w_d = sum_w_d + w_d
+            sum_w_i = sum_w_i + w_i
+
+    return (out_d / sum_w_d[..., None], out_i / sum_w_i[..., None],
+            out_vd / jnp.maximum(sum_w_d ** 2, 1e-8),
+            out_vi / jnp.maximum(sum_w_i ** 2, 1e-8))
+
+
+@partial(jax.jit, static_argnames=("iterations", "feedback_iteration",
+                                   "sigma_z", "sigma_n", "sigma_l"))
+def atrous(frame: dict, filtered: dict, iterations: int = 6,
+           feedback_iteration: int = 1, sigma_z: float = 4.0,
+           sigma_n: float = 16.0, sigma_l: float = 10.0):
+    """N a-trous iterations with 2^i spacing. The iteration with step 2^1
+    feeds the temporal colour history (reference: SVGF.h:414, 550-553)."""
+    direct = filtered["direct"]
+    indirect = filtered["indirect"]
+    var_d = filtered["var_direct"]
+    var_i = filtered["var_indirect"]
+    feedback = (direct, indirect)
+    for i in range(iterations):
+        direct, indirect, var_d, var_i = _atrous_pass(
+            frame, direct, indirect, var_d, var_i, 1 << i,
+            sigma_z, sigma_n, sigma_l)
+        if i == feedback_iteration:
+            feedback = (direct, indirect)
+    return direct, indirect, feedback
+
+
+def finalize(direct, indirect, albedo, modulate: bool = True):
+    """(direct + indirect) re-modulated by primary albedo
+    (reference: SVGF.h:559-609)."""
+    combined = direct + indirect
+    if modulate:
+        combined = combined * albedo
+    return combined
+
+
+def svgf_step(frame: dict, history: SVGFHistory, view_projection_prev,
+              config) -> tuple:
+    """Full SVGF frame: returns (filtered colour (H, W, 3), new history)."""
+    H, W = frame["depth"].shape
+    screen_prev = project_to_screen(frame["position_prev"],
+                                    view_projection_prev, W, H)
+    # Image-space depth gradient for the edge-stopping z weight.
+    dz_x = jnp.abs(_shift(frame["depth"], 0, 1) - frame["depth"])
+    dz_y = jnp.abs(_shift(frame["depth"], 1, 0) - frame["depth"])
+    frame = dict(frame)
+    frame["dz"] = jnp.maximum(jnp.maximum(dz_x, dz_y), 1e-4)
+
+    integrated = reproject(frame, history, screen_prev,
+                           config.svgf_alpha_colour, config.svgf_alpha_moments)
+    if config.enable_spatial_variance:
+        integrated = spatial_variance(frame, integrated, config.svgf_sigma_z,
+                                      config.svgf_sigma_n, config.svgf_sigma_l)
+    direct, indirect, (fb_direct, fb_indirect) = atrous(
+        frame, integrated, config.svgf_atrous_iterations, 1,
+        config.svgf_sigma_z, config.svgf_sigma_n, config.svgf_sigma_l)
+
+    colour = finalize(direct, indirect, frame["albedo"], config.modulate_albedo)
+
+    new_history = SVGFHistory(
+        direct=fb_direct,
+        indirect=fb_indirect,
+        moments=integrated["moments"],
+        length=integrated["length"],
+        normal=frame["normal"],
+        depth=frame["depth"],
+        instance=frame["instance"],
+    )
+    return colour, new_history

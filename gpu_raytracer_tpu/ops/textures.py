@@ -1,0 +1,105 @@
+"""Device texture sampling: software bilinear/trilinear over a flat texel pool
+(reference: CUDA texture objects + tex2DLod/tex2DGrad — TPUs have no hardware
+samplers, so filtering is explicit vector math over HBM gathers).
+
+Layout: one flat (N, 3) uint8 texel pool; a descriptor table maps
+(texture, mip) -> (offset, width, height). Texels are sRGB and converted to
+linear at sample time (the CUDA build gets this from the sRGB texture format).
+Addressing is wrap (repeat), matching the reference's CU_TR_ADDRESS_MODE_WRAP.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+MAX_MIPS = 16
+
+
+def pack_texture_pool(mip_chains: List[List[np.ndarray]]):
+    """mip_chains[i] = list of (H, W, 3) uint8 mips for texture i.
+    Returns device dict:
+      pool (N, 3) uint8, desc_offset/width/height (T, MAX_MIPS) int32,
+      num_mips (T,) int32
+    """
+    if not mip_chains:
+        mip_chains = [[np.array([[[255, 0, 255]]], np.uint8)]]
+    T = len(mip_chains)
+    offsets = np.zeros((T, MAX_MIPS), np.int64)
+    widths = np.ones((T, MAX_MIPS), np.int32)
+    heights = np.ones((T, MAX_MIPS), np.int32)
+    num_mips = np.zeros(T, np.int32)
+    parts = []
+    cursor = 0
+    for t, chain in enumerate(mip_chains):
+        chain = chain[:MAX_MIPS]
+        num_mips[t] = len(chain)
+        for m, mip in enumerate(chain):
+            h, w = mip.shape[:2]
+            offsets[t, m] = cursor
+            widths[t, m] = w
+            heights[t, m] = h
+            parts.append(mip.reshape(-1, 3))
+            cursor += h * w
+        # Pad descriptor tail with the last mip so out-of-range lods clamp.
+        for m in range(len(chain), MAX_MIPS):
+            offsets[t, m] = offsets[t, len(chain) - 1]
+            widths[t, m] = widths[t, len(chain) - 1]
+            heights[t, m] = heights[t, len(chain) - 1]
+    pool = np.concatenate(parts, axis=0)
+    # Base lod bias: log2(max dimension of mip 0), the CUDA texture lod_bias
+    # analog (reference: sample_albedo's `textures[id].lod_bias`).
+    base_lod = np.log2(np.maximum(np.maximum(widths[:, 0], heights[:, 0]), 1)
+                       .astype(np.float32))
+    return {
+        "pool": jnp.asarray(pool),
+        "offset": jnp.asarray(offsets.astype(np.int32)),
+        "width": jnp.asarray(widths),
+        "height": jnp.asarray(heights),
+        "num_mips": jnp.asarray(num_mips),
+        "base_lod": jnp.asarray(base_lod),
+    }
+
+
+def srgb_to_linear(c):
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _fetch(textures, offset, x, y, w, h):
+    """Wrapped texel fetch -> (R, 3) linear float."""
+    x = jnp.mod(x, w)
+    y = jnp.mod(y, h)
+    texel = textures["pool"][offset + y * w + x].astype(jnp.float32) * (1.0 / 255.0)
+    return srgb_to_linear(texel)
+
+
+def sample_bilinear_lod(textures, texture_id, u, v, lod):
+    """Trilinear sample: bilinear at floor(lod) and ceil(lod), blended.
+    texture_id: (R,) int32 (callers mask id < 0 themselves);
+    u, v: (R,) wrap-addressed; lod: (R,) float mip level."""
+    tid = jnp.maximum(texture_id, 0)
+    max_mip = (textures["num_mips"][tid] - 1).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, max_mip)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_mip.astype(jnp.int32))
+    f = (lod - l0)[:, None]
+
+    def bilinear(mip):
+        off = textures["offset"][tid, mip]
+        w = textures["width"][tid, mip]
+        h = textures["height"][tid, mip]
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        c00 = _fetch(textures, off, x0, y0, w, h)
+        c10 = _fetch(textures, off, x0 + 1, y0, w, h)
+        c01 = _fetch(textures, off, x0, y0 + 1, w, h)
+        c11 = _fetch(textures, off, x0 + 1, y0 + 1, w, h)
+        return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+
+    return bilinear(l0) * (1 - f) + bilinear(l1) * f
