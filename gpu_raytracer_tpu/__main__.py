@@ -46,10 +46,28 @@ def main(argv=None) -> int:
     integrator.init_device()
     print(f"[init] device buffers built in {time.time() - t0:.2f}s")
 
+    if cpu.run_viewer:
+        from gpu_raytracer_tpu.utils.viewer import run_viewer
+
+        run_viewer(integrator, target_samples=cpu.output_sample_index or 0)
+        return 0
+
+    if cpu.run_perf_test:
+        from gpu_raytracer_tpu.utils import perftest
+
+        povs = perftest.povs_for_scene(" ".join(cpu.scene_filenames)) \
+            or perftest.POVS_SPONZA
+        perftest.run(integrator, povs)
+        print("[perf] wrote perf.txt")
+        return 0
+
     num_samples = cpu.output_sample_index or 16
     t0 = time.time()
     for s in range(num_samples):
-        integrator.render()
+        if gpu.enable_svgf:
+            integrator.render_frame_denoised()
+        else:
+            integrator.render()
         if s == 0:
             import jax
 
@@ -65,6 +83,9 @@ def main(argv=None) -> int:
     if cpu.output_filename:
         image_io.save(cpu.output_filename, integrator.framebuffer())
         print(f"[output] wrote {cpu.output_filename}")
+        if cpu.export_aovs and hasattr(integrator, "export_aovs"):
+            for name, path in integrator.export_aovs(cpu.output_filename).items():
+                print(f"[output] wrote {path} ({name})")
     return 0
 
 

@@ -82,6 +82,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "GPU memory format with no TPU equivalent (parsed and ignored)")
     p.add_argument("--seed", type=int, default=None, help="sampler seed")
     p.add_argument("--batch-size", type=int, default=None, help="wavefront ray-arena capacity")
+    p.add_argument("--sampler", choices=["pmj", "pcg"], default=None,
+                   help="sampler backend (low-discrepancy tables vs pure hash)")
+    p.add_argument("--svgf", type=_parse_bool, default=None, metavar="{on,off}",
+                   help="enable SVGF denoising (interactive 1spp mode)")
+    p.add_argument("--perf", action="store_true",
+                   help="run the PerfTest POV sweep (reference perf.txt harness)")
+    p.add_argument("--aovs", action="store_true",
+                   help="also export albedo/normal/position EXR AOVs")
+    p.add_argument("--viewer", action="store_true",
+                   help="interactive terminal viewer (WASD camera, pixel query)")
     return p
 
 
@@ -152,7 +162,14 @@ def parse(argv: Optional[Sequence[str]] = None) -> Tuple[CPUConfig, GPUConfig]:
         gpu_updates["enable_nee"] = ns.nee
     if ns.mis is not None:
         gpu_updates["enable_mis"] = ns.mis
+    if ns.sampler is not None:
+        gpu_updates["sampler"] = ns.sampler
+    if ns.svgf is not None:
+        gpu_updates["enable_svgf"] = ns.svgf
     if gpu_updates:
         gpu = dataclasses.replace(gpu, **gpu_updates)
 
+    cpu.run_perf_test = bool(ns.perf)
+    cpu.export_aovs = bool(ns.aovs)
+    cpu.run_viewer = bool(ns.viewer)
     return cpu, gpu

@@ -60,15 +60,22 @@ def build_blas_cached(triangles, sah_cost_node: float = 4.0,
                       sah_cost_leaf: float = 1.0, max_leaf_size: int = 4,
                       force_rebuild: bool = False,
                       cache_dir: Optional[str] = None) -> BVH2:
-    """SAH build + collapse with disk caching."""
+    """SAH build + collapse with disk caching. Prefers the native C++
+    builder (native/bvh_builder.cpp, the reference's C++-toolchain analog)
+    and falls back to the pure-Python builder."""
     from gpu_raytracer_tpu.bvh import build_bvh2, collapse
+    from gpu_raytracer_tpu.bvh import native
 
     key = content_key(triangles, sah_cost_node, sah_cost_leaf, max_leaf_size)
     if not force_rebuild:
         cached = try_load(key, cache_dir)
         if cached is not None:
             return cached
-    bvh = build_bvh2(triangles, sah_cost_node, sah_cost_leaf)
-    bvh = collapse(bvh, sah_cost_node, sah_cost_leaf, max_leaf_size)
+    mn, mx = triangles.aabbs()
+    bvh = native.build_sah_collapsed(mn, mx, triangles.centroids(),
+                                     sah_cost_node, sah_cost_leaf, max_leaf_size)
+    if bvh is None:
+        bvh = build_bvh2(triangles, sah_cost_node, sah_cost_leaf)
+        bvh = collapse(bvh, sah_cost_node, sah_cost_leaf, max_leaf_size)
     save(key, bvh, cache_dir)
     return bvh

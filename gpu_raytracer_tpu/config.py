@@ -109,6 +109,10 @@ class GPUConfig:
     aov_mask: int = int(AOV.RADIANCE)
     num_bounces: int = 10
     enable_mipmapping: bool = True  # ray-cone texture LOD (reference Common.h)
+    # Sampler backend: "pmj" = low-discrepancy tables + blue-noise Cranley-
+    # Patterson rotation (the reference's primary path); "pcg" = pure hash
+    # (the reference's >4096spp fallback, table-free).
+    sampler: str = "pmj"
     enable_nee: bool = True            # next-event estimation
     enable_mis: bool = True            # multiple importance sampling
     enable_russian_roulette: bool = True
@@ -177,6 +181,11 @@ class CPUConfig:
 
     # RNG seed for the whole render (sampler decorrelation)
     seed: int = 0
+
+    # Tooling modes (CLI)
+    run_perf_test: bool = False
+    export_aovs: bool = False
+    run_viewer: bool = False
 
 
 @dataclass

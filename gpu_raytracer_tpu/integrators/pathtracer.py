@@ -111,11 +111,13 @@ def _interpolate_hit(tris, instances, hit):
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "width", "seed", "has_lights",
-                                    "with_stats", "has_textures", "with_aovs"))
+                                    "with_stats", "has_textures", "with_aovs",
+                                    "has_media"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
-                has_textures: bool = False, with_aovs: bool = False):
+                has_textures: bool = False, with_aovs: bool = False,
+                has_media: bool = False):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -128,8 +130,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     lights = buffers["lights"]
     nee_possible = config.enable_nee and has_lights
 
+    draw2 = rng.make_draw2(buffers.get("sampler"), width, seed, config.sampler)
     ray_o, ray_d = generate_primary_rays(
-        camera, pixel_index, width, sample_index, config.reconstruction_filter, seed)
+        camera, pixel_index, width, sample_index, config.reconstruction_filter,
+        seed, draw2=draw2)
 
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
@@ -154,19 +158,78 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     # at the camera's per-pixel spread, width grows by angle*t per segment).
     cone_angle = jnp.broadcast_to(camera["pixel_spread_angle"], (R,))
     cone_width = jnp.zeros(R, jnp.float32)
+    medium_id = jnp.full(R, -1, jnp.int32)  # current homogeneous medium
 
-    for bounce in range(config.num_bounces):
+    def bounce_body(bounce, carry):
+        (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
+         medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
+         aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
+        early = bounce <= 1            # reference's direct-lighting bounces
+        first = bounce == 0
+        not_last = bounce < config.num_bounces - 1
+
         rays_traced = rays_traced + jnp.sum(alive)
         hit = trace_closest_tlas(nodes, tris, instances, ray_o, ray_d,
                                  jnp.where(alive, INF, jnp.float32(0.0)))
+
+        # ---- homogeneous medium interaction (reference: Pathtracer.cu
+        # :252-325 — Wrenninge spectral-MIS distance sampling + HG phase) ----
+        scatters = jnp.zeros(R, bool)
+        if has_media:
+            mediums = buffers["mediums"]
+            in_medium = alive & (medium_id >= 0)
+            mid = jnp.maximum(medium_id, 0)
+            sig_a = mediums["sigma_a"][mid]
+            sig_s = mediums["sigma_s"][mid]
+            g_med = mediums["g"][mid]
+            sigma_t = sig_a + sig_s
+            can_scatter = jnp.sum(sig_s, axis=-1) > 0.0
+
+            u_s1, u_s2 = draw2(rng.SampleDimension.BSDF_0, pixel_index, bounce, sample_index)
+            u_p1, u_p2 = draw2(rng.SampleDimension.BSDF_1, pixel_index, bounce, sample_index)
+
+            thr_sum = jnp.maximum(jnp.sum(throughput, axis=-1), 1e-20)
+            wavelength_pdf = throughput / thr_sum[:, None]
+            pick = u_s1 * thr_sum
+            sigma_used = jnp.where(pick < throughput[:, 0], sigma_t[:, 0],
+                                   jnp.where(pick < throughput[:, 0] + throughput[:, 1],
+                                             sigma_t[:, 1], sigma_t[:, 2]))
+            dist_s = -jnp.log(jnp.maximum(1.0 - u_s2, 1e-10)) / jnp.maximum(sigma_used, 1e-10)
+            t_clip = jnp.minimum(dist_s, hit.t)
+            transmittance = jnp.exp(-sigma_t * t_clip[:, None])
+
+            scatters = in_medium & can_scatter & (dist_s < hit.t)
+            passthrough = in_medium & can_scatter & ~scatters
+            absorb_only = in_medium & ~can_scatter
+
+            pdf_sc = jnp.maximum(jnp.sum(wavelength_pdf * sigma_t * transmittance,
+                                         axis=-1), 1e-20)
+            pdf_pass = jnp.maximum(jnp.sum(wavelength_pdf * transmittance,
+                                           axis=-1), 1e-20)
+            thr_scatter = throughput * sig_s * transmittance / pdf_sc[:, None]
+            thr_pass = throughput * transmittance / pdf_pass[:, None]
+            thr_absorb = throughput * jnp.exp(
+                -sig_a * jnp.minimum(hit.t, 1e20)[:, None])
+            throughput = jnp.where(scatters[:, None], thr_scatter,
+                                   jnp.where(passthrough[:, None], thr_pass,
+                                             jnp.where(absorb_only[:, None],
+                                                       thr_absorb, throughput)))
+
+            from gpu_raytracer_tpu.ops.sampling import sample_henyey_greenstein
+
+            scatter_dir = sample_henyey_greenstein(-ray_d, g_med, u_p1, u_p2)
+            scatter_o = ray_o + dist_s[:, None] * ray_d
+            # Scattered lanes bypass all surface logic this segment
+            # (reference `return`s after emitting the scattered ray).
+            alive = alive & ~scatters
 
         # ---- sky on miss (reference: Pathtracer.cu:328-343) ----
         missed = alive & (hit.tri < 0)
         sky_radiance = sample_sky(buffers["sky"], buffers["sky_scale"], ray_d)
         sky_contrib = jnp.where(missed[:, None], throughput * sky_radiance, 0.0)
         radiance = radiance + sky_contrib
-        if with_aovs and bounce <= 1:
-            direct = direct + sky_contrib
+        if with_aovs:
+            direct = direct + jnp.where(early, sky_contrib, 0.0)
         alive = alive & ~missed
 
         # ---- material fetch (instance material wins, like the reference's
@@ -176,6 +239,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         mat_id = instances["material_id"][ii]
         mat_type = materials["type"][mat_id]
         emission = materials["emission"][mat_id]
+
+        if with_aovs:
+            # Primary-hit G-buffer for EVERY surface hit including emissive
+            # ones (reference: svgf_set_gbuffers is also called in the LIGHT
+            # branch, Pathtracer.cu:372-377) — otherwise lamp pixels keep
+            # inf depth and poison the SVGF edge weights with NaNs.
+            gb_ok = alive & (hit.tri >= 0) & first
+            aov_depth = jnp.where(gb_ok, hit.t, aov_depth)
+            aov_instance = jnp.where(gb_ok, hit.inst, aov_instance)
 
         # ---- emissive hit (reference: Pathtracer.cu:354-421) ----
         is_light = alive & (mat_type == int(MaterialType.LIGHT))
@@ -193,27 +265,28 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                   jnp.where(pdf_ok, power_heuristic(last_pdf, light_pdf), 0.0))
             else:
                 mis_w = jnp.where(full, 1.0, 0.0)
-            if bounce == 0:
-                mis_w = jnp.ones_like(mis_w)
+            mis_w = jnp.where(first, 1.0, mis_w)
             light_contrib = throughput * emission * mis_w[:, None]
         else:
             light_contrib = throughput * emission
         light_add = jnp.where(is_light[:, None], light_contrib, 0.0)
         radiance = radiance + light_add
-        if with_aovs and bounce <= 1:
-            direct = direct + light_add
+        if with_aovs:
+            direct = direct + jnp.where(early, light_add, 0.0)
         alive = alive & ~is_light
 
-        # ---- russian roulette / bounce cap (reference: Pathtracer.cu:199-218) ----
-        if bounce == config.num_bounces - 1:
-            break
-        if config.enable_russian_roulette and bounce > 0:
+        # ---- bounce cap + russian roulette (reference: Pathtracer.cu:199-218) ----
+        alive = alive & not_last
+        if config.enable_russian_roulette:
             survival = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
-            u_rr = rng.random_float(2 * rng.SampleDimension.RUSSIAN_ROULETTE,
-                                    pixel_index, bounce, sample_index, seed)
-            killed = u_rr > survival
+            u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
+                            pixel_index, bounce, sample_index)
+            rr_active = bounce > 0
+            killed = rr_active & (u_rr > survival)
             alive = alive & ~killed
-            throughput = throughput / jnp.maximum(survival, 1e-8)[:, None]
+            throughput = jnp.where(rr_active,
+                                   throughput / jnp.maximum(survival, 1e-8)[:, None],
+                                   throughput)
 
         # ---- surface shading (reference: Pathtracer.cu shade_material) ----
         point, geom_n, shading_n, uv, p_obj, e1_obj, e2_obj = _interpolate_hit(tris, instances, hit)
@@ -272,34 +345,30 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # filtering (reference: BSDF.h calc_albedo svgf branch).
         is_diffuse = mat_type == int(MaterialType.DIFFUSE)
         fold_albedo = alive & is_diffuse
-        if demodulate and bounce == 0:
-            fold_albedo = jnp.zeros_like(fold_albedo)
+        if demodulate:
+            fold_albedo = fold_albedo & ~first
         throughput = jnp.where(fold_albedo[:, None], throughput * albedo, throughput)
         can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"])
 
-        if with_aovs and bounce == 0:
+        if with_aovs:
             # Primary-hit G-buffer (reference: svgf_set_gbuffers SVGF.h:61-81
             # + ALBEDO/NORMAL/POSITION AOVs).
-            hit_ok = alive
+            hit_ok = alive & first
             aov_albedo = jnp.where((hit_ok & (is_diffuse | (mat_type == int(MaterialType.PLASTIC))))[:, None],
                                    albedo, aov_albedo)
             aov_normal = jnp.where(hit_ok[:, None], shading_n, aov_normal)
             aov_position = jnp.where(hit_ok[:, None], point, aov_position)
-            aov_depth = jnp.where(hit_ok, hit.t, aov_depth)
-            aov_instance = jnp.where(hit_ok, hit.inst, aov_instance)
             # Previous-frame world position for motion vectors (reference:
             # per-mesh transform_prev, Integrator.cpp:422).
             point_prev = _affine_point(instances["prev_T"], ii, p_obj)
-            aov_position_prev = jnp.where(hit_ok[:, None], point_prev, point)
+            aov_position_prev = jnp.where(hit_ok[:, None], point_prev, aov_position_prev)
 
         # ---- next-event estimation (reference: Pathtracer.cu:466-555) ----
         if nee_possible:
-            u_pick = rng.random_float(2 * rng.SampleDimension.NEE_LIGHT,
-                                      pixel_index, bounce, sample_index, seed)
-            u_b1 = rng.random_float(2 * rng.SampleDimension.NEE_TRIANGLE,
-                                    pixel_index, bounce, sample_index, seed)
-            u_b2 = rng.random_float(2 * rng.SampleDimension.NEE_TRIANGLE + 1,
-                                    pixel_index, bounce, sample_index, seed)
+            u_pick, _ = draw2(rng.SampleDimension.NEE_LIGHT,
+                              pixel_index, bounce, sample_index)
+            u_b1, u_b2 = draw2(rng.SampleDimension.NEE_TRIANGLE,
+                               pixel_index, bounce, sample_index)
             k = searchsorted_cdf(lights["cdf"], u_pick)
             lt = lights["tri"][k]
             li = lights["inst"][k]
@@ -341,18 +410,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             add = want_shadow & ~occluded
             nee_add = jnp.where(add[:, None], illumination, 0.0)
             radiance = radiance + nee_add
-            if with_aovs and bounce == 0:
-                direct = direct + nee_add
+            if with_aovs:
+                direct = direct + jnp.where(first, nee_add, 0.0)
 
         # ---- BSDF sample -> continuation ray (reference: Pathtracer.cu:745-756) ----
-        u_f0 = rng.random_float(2 * rng.SampleDimension.BSDF_0, pixel_index,
-                                bounce, sample_index, seed)
-        u_f1 = rng.random_float(2 * rng.SampleDimension.BSDF_0 + 1, pixel_index,
-                                bounce, sample_index, seed)
-        u_b0 = rng.random_float(2 * rng.SampleDimension.BSDF_1, pixel_index,
-                                bounce, sample_index, seed)
-        u_b1 = rng.random_float(2 * rng.SampleDimension.BSDF_1 + 1, pixel_index,
-                                bounce, sample_index, seed)
+        u_f0, u_f1 = draw2(rng.SampleDimension.BSDF_0, pixel_index, bounce, sample_index)
+        u_b0, u_b1 = draw2(rng.SampleDimension.BSDF_1, pixel_index, bounce, sample_index)
         sample = bsdf_lib.bsdf_sample(buffers["luts"], mat, omega_i, albedo,
                                       entering, u_f0, u_f1, u_b0, u_b1)
         alive = alive & sample.valid
@@ -360,10 +423,39 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                throughput * sample.throughput_mul, throughput)
         new_dir = local_to_world(sample.omega_o, tangent, bitangent, shading_n)
         new_dir = normalize(new_dir)
-        ray_o = _offset_origin(point, new_dir, geom_n)
-        ray_d = new_dir
+        ray_o = jnp.where(alive[:, None], _offset_origin(point, new_dir, geom_n), ray_o)
+        ray_d = jnp.where(alive[:, None], new_dir, ray_d)
         last_pdf = sample.pdf
         prev_allow_nee = jnp.full(R, bool(config.enable_nee)) & can_nee
+        if has_media:
+            # Medium transitions on dielectric transmission (reference:
+            # BSDF.h dielectric sample medium_id update).
+            mat_medium = materials["medium"][mat_id]
+            medium_id = jnp.where(alive & sample.is_transmission,
+                                  jnp.where(entering, mat_medium, -1), medium_id)
+            # Merge scattered lanes back into the wavefront.
+            ray_o = jnp.where(scatters[:, None], scatter_o, ray_o)
+            ray_d = jnp.where(scatters[:, None], scatter_dir, ray_d)
+            alive = alive | scatters
+            prev_allow_nee = prev_allow_nee & ~scatters
+            last_pdf = jnp.where(scatters, 1.0, last_pdf)
+
+        return (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
+                last_pdf, medium_id, cone_width, direct, aov_albedo, aov_normal,
+                aov_position, aov_position_prev, aov_depth, aov_instance,
+                rays_traced)
+
+    carry = (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
+             last_pdf, medium_id, cone_width, direct, aov_albedo, aov_normal,
+             aov_position, aov_position_prev, aov_depth, aov_instance,
+             rays_traced)
+    # Bounce loop as lax.fori_loop: the per-bounce program is traced ONCE, so
+    # compile time is independent of num_bounces (the unrolled form made
+    # 48-bounce furnace configs take tens of minutes to compile).
+    carry = jax.lax.fori_loop(0, config.num_bounces, bounce_body, carry)
+    (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
+     medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
+     aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
 
     # NaN/Inf poisoning -> magenta, matching the reference's diagnostic
     # (Pathtracer.cu:790-793).
@@ -467,7 +559,8 @@ class Pathtracer:
             colors = render_wave(self.buffers, camera, idx, self.sample_index,
                                  self.gpu_config, self.width, self.cpu_config.seed,
                                  self.scene.has_lights,
-                                 has_textures=len(self.scene.textures) > 0)
+                                 has_textures=len(self.scene.textures) > 0,
+                                 has_media=len(self.scene.mediums) > 0)
             count = min(wave, num_pixels - offset)
             frame = jax.lax.dynamic_update_slice(frame, colors[:count], (offset, 0))
 
@@ -536,3 +629,31 @@ class Pathtracer:
     def framebuffer(self) -> np.ndarray:
         """(H, W, 3) float32 HDR frame."""
         return np.asarray(self.accumulator).reshape(self.height, self.width, 3)
+
+    def export_aovs(self, output_filename: str, samples: int = 4) -> dict:
+        """Write albedo/normal/position EXRs next to the main output
+        (reference: capture_screen AOV export, Main.cpp:226-250)."""
+        import os
+
+        from gpu_raytracer_tpu.utils.exr import write_exr
+
+        camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
+        idx = jnp.arange(self.width * self.height, dtype=jnp.int32)
+        acc = {"albedo": 0, "normal": 0, "position": 0}
+        for s in range(samples):
+            aovs = render_wave(self.buffers, camera, idx, s, self.gpu_config,
+                               self.width, self.cpu_config.seed,
+                               self.scene.has_lights,
+                               has_textures=len(self.scene.textures) > 0,
+                               has_media=len(self.scene.mediums) > 0,
+                               with_aovs=True)
+            for k in acc:
+                acc[k] = acc[k] + np.asarray(aovs[k])
+        base = os.path.splitext(output_filename)[0]
+        written = {}
+        for k, v in acc.items():
+            img = (v / samples).reshape(self.height, self.width, 3)
+            path = f"{base}_{k}.exr"
+            write_exr(path, np.flipud(img))
+            written[k] = path
+        return written

@@ -304,7 +304,10 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     packed_tris = np.concatenate(
         [pos[:, 0], pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]], axis=-1)
 
+    from gpu_raytracer_tpu.ops.pmj import load_tables
+
     return {
+        "sampler": load_tables(),
         "textures": textures,
         "nodes": nodes,
         "tris": {

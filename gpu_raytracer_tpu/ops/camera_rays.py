@@ -20,7 +20,7 @@ from gpu_raytracer_tpu.ops.sampling import normalize, sample_disk, sample_gaussi
 
 def generate_primary_rays(camera: dict, pixel_index: jnp.ndarray, width: int,
                           sample_index, recon_filter: ReconstructionFilter,
-                          seed: int = 0, jitter_override=None):
+                          seed: int = 0, jitter_override=None, draw2=None):
     """pixel_index: (R,) int32 -> (ray_o (R,3), ray_d (R,3)).
 
     `jitter_override`: optional (2,) array replacing the per-pixel filter
@@ -30,12 +30,13 @@ def generate_primary_rays(camera: dict, pixel_index: jnp.ndarray, width: int,
     x = (pixel_index % width).astype(jnp.float32)
     y = (pixel_index // width).astype(jnp.float32)
 
+    if draw2 is None:
+        draw2 = rng.make_draw2(None, width, seed, "pcg")
     if jitter_override is not None:
         jx = jnp.broadcast_to(jitter_override[0], x.shape)
         jy = jnp.broadcast_to(jitter_override[1], y.shape)
     else:
-        u1 = rng.random_float(2 * rng.SampleDimension.FILTER, pixel_index, 0, sample_index, seed)
-        u2 = rng.random_float(2 * rng.SampleDimension.FILTER + 1, pixel_index, 0, sample_index, seed)
+        u1, u2 = draw2(rng.SampleDimension.FILTER, pixel_index, 0, sample_index)
         if recon_filter == ReconstructionFilter.BOX:
             jx, jy = u1, u2
         elif recon_filter == ReconstructionFilter.TENT:
@@ -51,8 +52,7 @@ def generate_primary_rays(camera: dict, pixel_index: jnp.ndarray, width: int,
                    + (y + jy)[:, None] * camera["y_axis"])
     focal_point = camera["focal_distance"] * normalize(pyramid_dir)
 
-    a1 = rng.random_float(2 * rng.SampleDimension.APERTURE, pixel_index, 0, sample_index, seed)
-    a2 = rng.random_float(2 * rng.SampleDimension.APERTURE + 1, pixel_index, 0, sample_index, seed)
+    a1, a2 = draw2(rng.SampleDimension.APERTURE, pixel_index, 0, sample_index)
     lx, ly = sample_disk(a1, a2)
     offset = camera["aperture_radius"] * (lx[:, None] * camera["x_axis"]
                                           + ly[:, None] * camera["y_axis"])

@@ -82,3 +82,21 @@ def random_float(dim: int, pixel_index: jnp.ndarray, bounce, sample_index,
 def random_float2(dim0: int, dim1: int, pixel_index, bounce, sample_index, seed: int = 0):
     return (random_float(dim0, pixel_index, bounce, sample_index, seed),
             random_float(dim1, pixel_index, bounce, sample_index, seed))
+
+
+def make_draw2(tables, width: int, seed: int, mode: str):
+    """Factory for the per-wave 2D sample draw: `draw2(dim, pixel_index,
+    bounce, sample_index) -> (u1, u2)`. Selects the table-driven
+    low-discrepancy path (reference Sampling.h primary path) or the pure
+    hash fallback; the choice is static under jit."""
+    if mode == "pmj" and tables is not None:
+        from gpu_raytracer_tpu.ops.pmj import pmj_random2
+
+        def draw2(dim, pixel_index, bounce, sample_index):
+            return pmj_random2(tables, int(dim), pixel_index, bounce,
+                               sample_index, width)
+    else:
+        def draw2(dim, pixel_index, bounce, sample_index):
+            return (random_float(2 * int(dim), pixel_index, bounce, sample_index, seed),
+                    random_float(2 * int(dim) + 1, pixel_index, bounce, sample_index, seed))
+    return draw2

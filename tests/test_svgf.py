@@ -62,9 +62,6 @@ def cornell_pt(reference_data):
 
 
 class TestSVGF:
-    @pytest.mark.xfail(reason="temporal accumulation under investigation: "
-                              "history appears to be rejected; tracked for "
-                              "the SVGF debugging pass", strict=False)
     def test_denoised_frames_converge(self, cornell_pt):
         pt = cornell_pt
         frames = [pt.render_frame_denoised() for _ in range(6)]
@@ -79,7 +76,6 @@ class TestSVGF:
         assert frames[5].mean() > 0.02
         assert float(np.asarray(pt._svgf_history.length).mean()) > 2.0
 
-    @pytest.mark.xfail(reason="see test_denoised_frames_converge", strict=False)
     def test_denoised_less_noisy_than_raw(self, cornell_pt):
         pt = cornell_pt
         denoised = pt.render_frame_denoised()
