@@ -59,23 +59,48 @@ def save(key: str, bvh: BVH2, cache_dir: Optional[str] = None) -> None:
 def build_blas_cached(triangles, sah_cost_node: float = 4.0,
                       sah_cost_leaf: float = 1.0, max_leaf_size: int = 4,
                       force_rebuild: bool = False,
-                      cache_dir: Optional[str] = None) -> BVH2:
-    """SAH build + collapse with disk caching. Prefers the native C++
-    builder (native/bvh_builder.cpp, the reference's C++-toolchain analog)
-    and falls back to the pure-Python builder."""
+                      cache_dir: Optional[str] = None,
+                      builder: str = "sah",
+                      sbvh_alpha: float = 1e-4,
+                      optimize_tree: bool = False,
+                      optimize_max_batches: int = 1000,
+                      optimize_max_time_ms: int = 60_000) -> BVH2:
+    """BLAS pipeline with disk caching, mirroring the reference's
+    (S)BVH2 -> [optimize] -> collapse chain (AssetManager.cpp:57-95).
+    builder: "sah" (full-sweep object splits; prefers the native C++
+    implementation) or "sbvh" (spatial splits, Python)."""
     from gpu_raytracer_tpu.bvh import build_bvh2, collapse
     from gpu_raytracer_tpu.bvh import native
 
-    key = content_key(triangles, sah_cost_node, sah_cost_leaf, max_leaf_size)
+    tag = f"{builder}a{sbvh_alpha}" if builder == "sbvh" else builder
+    if optimize_tree:
+        tag += f"|opt{optimize_max_batches}"
+    key = content_key(triangles, sah_cost_node, sah_cost_leaf, max_leaf_size,
+                      builder=tag)
     if not force_rebuild:
         cached = try_load(key, cache_dir)
         if cached is not None:
             return cached
-    mn, mx = triangles.aabbs()
-    bvh = native.build_sah_collapsed(mn, mx, triangles.centroids(),
-                                     sah_cost_node, sah_cost_leaf, max_leaf_size)
-    if bvh is None:
+    if builder == "sbvh":
+        from gpu_raytracer_tpu.bvh.sbvh import SBVHBuilder
+
+        bvh = SBVHBuilder(sah_cost_node, sah_cost_leaf, sbvh_alpha).build(triangles)
+    else:
+        mn, mx = triangles.aabbs()
+        bvh = None
+        if not optimize_tree:
+            # Fast path: the native builder emits the collapsed tree directly.
+            bvh = native.build_sah_collapsed(mn, mx, triangles.centroids(),
+                                             sah_cost_node, sah_cost_leaf,
+                                             max_leaf_size)
+            if bvh is not None:
+                save(key, bvh, cache_dir)
+                return bvh
         bvh = build_bvh2(triangles, sah_cost_node, sah_cost_leaf)
-        bvh = collapse(bvh, sah_cost_node, sah_cost_leaf, max_leaf_size)
+    if optimize_tree:
+        from gpu_raytracer_tpu.bvh.optimize import optimize
+
+        bvh = optimize(bvh, optimize_max_batches, optimize_max_time_ms)
+    bvh = collapse(bvh, sah_cost_node, sah_cost_leaf, max_leaf_size)
     save(key, bvh, cache_dir)
     return bvh

@@ -136,11 +136,20 @@ def _aggregate_blas(scene: Scene, sah_cost_node, sah_cost_leaf, force_rebuild):
     tri_parts = []
     node_base = geo.tlas_size
     tri_base = 0
+    from gpu_raytracer_tpu.config import BVHType
+
+    cfg = scene.config
+    builder = "sbvh" if (cfg and cfg.bvh_type == BVHType.SBVH) else "sah"
+    sbvh_alpha = cfg.sbvh_alpha if cfg else 1e-4
     for md in scene.mesh_datas:
         bvh = md.bvh
         if bvh is None:
-            bvh = build_blas_cached(md.triangles, sah_cost_node, sah_cost_leaf,
-                                    LEAF_SIZE, force_rebuild)
+            bvh = build_blas_cached(
+                md.triangles, sah_cost_node, sah_cost_leaf, LEAF_SIZE,
+                force_rebuild, builder=builder, sbvh_alpha=sbvh_alpha,
+                optimize_tree=bool(cfg and cfg.enable_bvh_optimization),
+                optimize_max_batches=cfg.bvh_optimizer_max_num_batches if cfg else 1000,
+                optimize_max_time_ms=cfg.bvh_optimizer_max_time_ms if cfg else 60_000)
             md.bvh = bvh
         geo.blas_root_of_mesh.append(node_base)
         geo.tri_base_of_mesh.append(tri_base)
