@@ -98,3 +98,59 @@ class TestNativeBuilder:
         assert nb.sah_cost() == pytest.approx(pb.sah_cost(), rel=1e-5)
         np.testing.assert_array_equal(nb.indices, pb.indices)
         _oracle_check(nb, tris)
+
+
+class TestWideBVHs:
+    def test_bvh4_matches_oracle(self):
+        from gpu_raytracer_tpu.bvh.bvh4 import convert_bvh4, traverse_bvh4
+        from gpu_raytracer_tpu.bvh.cpu_trace import intersect_tris_brute
+
+        tris = _random_tris(300, seed=10)
+        bvh2 = collapse(build_bvh2(tris), max_leaf_size=4)
+        bvh4 = convert_bvh4(bvh2)
+        assert bvh4.num_nodes < bvh2.num_nodes
+        pos = tris.positions[bvh4.indices]
+        p0, e1, e2 = pos[:, 0], pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]
+        cent = pos.mean(axis=1)
+        rng = np.random.default_rng(2)
+        for _ in range(40):
+            o = rng.uniform(-15, 15, 3).astype(np.float32)
+            d = (cent[rng.integers(len(cent))] - o).astype(np.float32)
+            d /= np.linalg.norm(d)
+            t4, _ = traverse_bvh4(bvh4, o, d, p0, e1, e2)
+            tr, _, _, _ = intersect_tris_brute(o, d, p0, e1, e2)
+            assert np.isclose(t4, tr, rtol=1e-4) or (np.isinf(t4) and np.isinf(tr))
+
+    def test_bvh8_quantized_boxes_conservative(self):
+        from gpu_raytracer_tpu.bvh.bvh8 import convert_bvh8
+
+        tris = _random_tris(200, seed=11)
+        bvh2 = build_bvh2(tris)  # 1-tri leaves
+        bvh8 = convert_bvh8(bvh2)
+        assert bvh8.num_nodes < bvh2.num_nodes / 2
+        # Every decoded child box must ENCLOSE the true geometry it leads to
+        # (quantization rounds outward) — checked transitively by traversal.
+        assert len(bvh8.indices) == len(tris)
+        assert sorted(bvh8.indices.tolist()) == list(range(len(tris)))
+
+    def test_bvh8_matches_oracle(self):
+        from gpu_raytracer_tpu.bvh.bvh8 import convert_bvh8, traverse_bvh8
+        from gpu_raytracer_tpu.bvh.cpu_trace import intersect_tris_brute
+
+        tris = _random_tris(300, seed=12)
+        bvh8 = convert_bvh8(build_bvh2(tris))
+        pos = tris.positions[bvh8.indices]
+        p0, e1, e2 = pos[:, 0], pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]
+        cent = pos.mean(axis=1)
+        rng = np.random.default_rng(3)
+        hits = 0
+        for _ in range(60):
+            o = rng.uniform(-15, 15, 3).astype(np.float32)
+            d = (cent[rng.integers(len(cent))] - o).astype(np.float32)
+            d /= np.linalg.norm(d)
+            t8, _ = traverse_bvh8(bvh8, o, d, p0, e1, e2)
+            tr, _, _, _ = intersect_tris_brute(o, d, p0, e1, e2)
+            if np.isfinite(tr):
+                hits += 1
+            assert np.isclose(t8, tr, rtol=1e-4) or (np.isinf(t8) and np.isinf(tr))
+        assert hits > 20
