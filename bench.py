@@ -38,9 +38,12 @@ def main() -> int:
     camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
     pixel_index = jnp.arange(W * H, dtype=jnp.int32)
 
+    use_pallas = (buffers.get("pallas") is not None
+                  and jax.default_backend() == "tpu")
+
     def sample(s):
         return render_wave(buffers, camera, pixel_index, s, config, W, 0,
-                           scene.has_lights, True)
+                           scene.has_lights, True, use_pallas=use_pallas)
 
     # Warmup / compile.
     radiance, rays = sample(0)

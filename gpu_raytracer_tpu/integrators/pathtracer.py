@@ -44,6 +44,7 @@ from gpu_raytracer_tpu.ops.sampling import (
 )
 from gpu_raytracer_tpu.ops.sky_ops import sample_sky
 from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas
+from gpu_raytracer_tpu.ops.pallas_traverse import trace_any_pallas, trace_closest_pallas
 from gpu_raytracer_tpu.scene.scene import Scene
 from gpu_raytracer_tpu.scene.types import MaterialType
 
@@ -112,12 +113,12 @@ def _interpolate_hit(tris, instances, hit):
 @functools.partial(jax.jit,
                    static_argnames=("config", "width", "seed", "has_lights",
                                     "with_stats", "has_textures", "with_aovs",
-                                    "has_media"))
+                                    "has_media", "use_pallas"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
-                has_media: bool = False):
+                has_media: bool = False, use_pallas: bool = False):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -169,8 +170,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         not_last = bounce < config.num_bounces - 1
 
         rays_traced = rays_traced + jnp.sum(alive)
-        hit = trace_closest_tlas(nodes, tris, instances, ray_o, ray_d,
-                                 jnp.where(alive, INF, jnp.float32(0.0)))
+        if use_pallas:
+            hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
+                                       jnp.where(alive, INF, jnp.float32(0.0)))
+        else:
+            hit = trace_closest_tlas(nodes, tris, instances, ray_o, ray_d,
+                                     jnp.where(alive, INF, jnp.float32(0.0)))
 
         # ---- homogeneous medium interaction (reference: Pathtracer.cu
         # :252-325 — Wrenninge spectral-MIS distance sampling + HG phase) ----
@@ -404,9 +409,14 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
             want_shadow = alive & can_nee & nee_eval.valid & pdf_ok & (cos_light > 1e-6)
             rays_traced = rays_traced + jnp.sum(want_shadow)
-            occluded = trace_any_tlas(nodes, tris, instances, shadow_o, to_light,
-                                      jnp.where(want_shadow, dist - 2 * EPSILON,
-                                                jnp.float32(0.0)))
+            shadow_tmax = jnp.where(want_shadow, dist - 2 * EPSILON,
+                                    jnp.float32(0.0))
+            if use_pallas:
+                occluded = trace_any_pallas(*buffers["pallas"], shadow_o,
+                                            to_light, shadow_tmax)
+            else:
+                occluded = trace_any_tlas(nodes, tris, instances, shadow_o,
+                                          to_light, shadow_tmax)
             add = want_shadow & ~occluded
             nee_add = jnp.where(add[:, None], illumination, 0.0)
             radiance = radiance + nee_add
@@ -514,6 +524,15 @@ class Pathtracer:
         self.accumulator = jnp.zeros((self.width * self.height, 3), jnp.float32)
         self.invalidated.clear()
 
+    @property
+    def use_pallas(self) -> bool:
+        """The Pallas whole-loop traversal kernel runs when the scene fits its
+        SMEM table budget and we're on real TPU hardware (the XLA while_loop
+        path covers larger scenes and the CPU test backend)."""
+        return (self.buffers is not None
+                and self.buffers.get("pallas") is not None
+                and jax.default_backend() == "tpu")
+
     def update(self, delta: float = 0.0) -> None:
         """Selective re-upload per invalidation flags (reference
         Integrator::update, Integrator.cpp:432-528)."""
@@ -560,7 +579,8 @@ class Pathtracer:
                                  self.gpu_config, self.width, self.cpu_config.seed,
                                  self.scene.has_lights,
                                  has_textures=len(self.scene.textures) > 0,
-                                 has_media=len(self.scene.mediums) > 0)
+                                 has_media=len(self.scene.mediums) > 0,
+                                 use_pallas=self.use_pallas)
             count = min(wave, num_pixels - offset)
             frame = jax.lax.dynamic_update_slice(frame, colors[:count], (offset, 0))
 
@@ -594,7 +614,7 @@ class Pathtracer:
                            self.gpu_config, W, self.cpu_config.seed,
                            self.scene.has_lights,
                            has_textures=len(self.scene.textures) > 0,
-                           with_aovs=True)
+                           with_aovs=True, use_pallas=self.use_pallas)
         self.sample_index += 1
 
         def img(x):
@@ -646,7 +666,7 @@ class Pathtracer:
                                self.scene.has_lights,
                                has_textures=len(self.scene.textures) > 0,
                                has_media=len(self.scene.mediums) > 0,
-                               with_aovs=True)
+                               with_aovs=True, use_pallas=self.use_pallas)
             for k in acc:
                 acc[k] = acc[k] + np.asarray(aovs[k])
         base = os.path.splitext(output_filename)[0]

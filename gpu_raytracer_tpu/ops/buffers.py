@@ -315,7 +315,7 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
 
     from gpu_raytracer_tpu.ops.pmj import load_tables
 
-    return {
+    buffers = {
         "sampler": load_tables(),
         "textures": textures,
         "nodes": nodes,
@@ -341,6 +341,23 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
         "sky": jnp.asarray(sky),
         "sky_scale": jnp.float32(scene.sky.scale if scene.sky else 1.0),
     }
+    buffers["pallas"] = _pack_pallas(buffers)
+    return buffers
+
+
+def _pack_pallas(buffers: dict):
+    """SMEM-resident traversal tables for the Pallas whole-loop kernel, or
+    None when the scene exceeds its table budget (the XLA while_loop path is
+    the fallback). See ops/pallas_traverse.py."""
+    from gpu_raytracer_tpu.ops import pallas_traverse as ptv
+
+    nodes, tris, insts = buffers["nodes"], buffers["tris"], buffers["instances"]
+    n = int(np.asarray(nodes["left"]).shape[0])
+    t = int(np.asarray(tris["geo_T"]).shape[1])
+    i = int(np.asarray(insts["blas_root"]).shape[0])
+    if not ptv.supports(n, t, i):
+        return None
+    return ptv.pack_tables(nodes, tris, insts)
 
 
 def refresh_tlas(buffers: dict, scene: Scene) -> dict:
@@ -369,4 +386,6 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
     # through a full rebuild (invalidated_materials).
     if lights["tri"].shape == buffers["lights"]["tri"].shape:
         out["lights"] = lights
+    if buffers.get("pallas") is not None:
+        out["pallas"] = _pack_pallas(out)
     return out
