@@ -7,10 +7,11 @@ queues. Here one jitted `render_wave` contains the whole sample: a Python
 bounce loop unrolled at trace time (num_bounces is static in GPUConfig), each
 bounce doing trace -> shade -> NEE shadow trace on the full wavefront with
 alive masks. XLA fuses the shading math between the two traversal while-loops;
-queue compaction is unnecessary at this stage because every stage is already
-branchless vector math over all lanes (the sort-based compaction of SURVEY.md
-§2.10 becomes profitable only with heavy multi-BSDF divergence; see
-ops/compaction.py once material sorting lands).
+queue compaction is deliberately absent: the TPU VPU is lockstep with no warp
+scheduler, so the reference's material-sorted queues (SURVEY.md §2.10) buy
+nothing — every lane evaluates the compute-all-select BSDF in the same
+instruction stream either way, and a per-bounce sort would cost more than the
+selects it saves.
 
 Invalidation flags drive selective re-upload exactly like the reference's
 Integrator::update (Integrator.cpp:432-528): scene edits rebuild buffers,
@@ -102,11 +103,16 @@ def _interpolate_hit(tris, instances, hit):
     point = _affine_point(instances["fwd_T"], ii, p_obj)
 
     geom_n = _affine_normal(instances["inv_T"], ii, jnp.cross(e1, e2))
-    n0 = tris["n0"][ti]
-    n1 = tris["n1"][ti]
-    n2 = tris["n2"][ti]
+    nt = tris["n_T"]
+    n0 = jnp.stack([nt[0][ti], nt[1][ti], nt[2][ti]], axis=-1)
+    n1 = jnp.stack([nt[3][ti], nt[4][ti], nt[5][ti]], axis=-1)
+    n2 = jnp.stack([nt[6][ti], nt[7][ti], nt[8][ti]], axis=-1)
     shading_n = _affine_normal(instances["inv_T"], ii, (1.0 - u - v) * n0 + u * n1 + v * n2)
-    uv = (1.0 - u - v) * tris["uv0"][ti] + u * tris["uv1"][ti] + v * tris["uv2"][ti]
+    ut = tris["uv_T"]
+    uv0 = jnp.stack([ut[0][ti], ut[1][ti]], axis=-1)
+    uv1 = jnp.stack([ut[2][ti], ut[3][ti]], axis=-1)
+    uv2 = jnp.stack([ut[4][ti], ut[5][ti]], axis=-1)
+    uv = (1.0 - u - v) * uv0 + u * uv1 + v * uv2
     return point, geom_n, shading_n, uv, p_obj, e1, e2
 
 
@@ -243,7 +249,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         ii = jnp.maximum(hit.inst, 0)
         mat_id = instances["material_id"][ii]
         mat_type = materials["type"][mat_id]
-        emission = materials["emission"][mat_id]
+        emission = jnp.stack([materials["emission_T"][0][mat_id], materials["emission_T"][1][mat_id], materials["emission_T"][2][mat_id]], axis=-1)
 
         if with_aovs:
             # Primary-hit G-buffer for EVERY surface hit including emissive
@@ -313,10 +319,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             "type": mat_type,
             "roughness": materials["roughness"][mat_id],
             "ior": materials["ior"][mat_id],
-            "eta": materials["eta"][mat_id],
-            "k": materials["k"][mat_id],
+            "eta": jnp.stack([materials["eta_T"][0][mat_id], materials["eta_T"][1][mat_id], materials["eta_T"][2][mat_id]], axis=-1),
+            "k": jnp.stack([materials["k_T"][0][mat_id], materials["k_T"][1][mat_id], materials["k_T"][2][mat_id]], axis=-1),
         }
-        albedo = materials["diffuse"][mat_id]
+        albedo = jnp.stack([materials["diffuse_T"][0][mat_id], materials["diffuse_T"][1][mat_id], materials["diffuse_T"][2][mat_id]], axis=-1)
         if has_textures and config.enable_mipmapping:
             # Ray-cone isotropic texture LOD (reference: RayCone.h
             # sample_albedo iso path + Triangle.h triangle_get_lod). The
@@ -387,7 +393,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                 jnp.stack([lg[0][lt], lg[1][lt], lg[2][lt]], -1))
             light_point = lp0 + lu[:, None] * le1 + lv[:, None] * le2
             light_gn = normalize(jnp.cross(le1, le2))
-            light_emission = materials["emission"][instances["material_id"][li]]
+            lm = instances["material_id"][li]
+            light_emission = jnp.stack([materials["emission_T"][0][lm], materials["emission_T"][1][lm], materials["emission_T"][2][lm]], axis=-1)
 
             shadow_o = _offset_origin(point, light_point - point, geom_n)
             light_point = _offset_origin(light_point, shadow_o - light_point, light_gn)

@@ -15,7 +15,7 @@ Interface conventions follow the reference exactly:
     evaluating all four lobes and masking is cheaper than the reference's
     per-material queue split (which exists to fight warp divergence, a
     non-concept here). The material-sorted wavefront path remains available
-    for the Pallas kernels (ops/compaction.py).
+    for the Pallas kernels.
 
 The dispatch tables are (R,)-gathered material parameters:
   mat = {type, roughness, ior, eta (R,3), k (R,3)}

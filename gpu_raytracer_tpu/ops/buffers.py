@@ -63,7 +63,13 @@ def pack_materials(scene: Scene) -> dict:
         out["k"][i] = m.k
         out["medium"][i] = m.medium_id
         out["texture"][i] = m.texture_id
-    return {k: jnp.asarray(v) for k, v in out.items()}
+    packed = {k: jnp.asarray(v) for k, v in out.items()}
+    # Component-major (3, M) copies: the shading path gathers per-ray
+    # material vectors as 3 scalar row gathers (row gathers of (M, 3)
+    # relayout the minor dim per ray — measured megacycles on TPU).
+    for k in ("emission", "diffuse", "eta", "k"):
+        packed[k + "_T"] = jnp.asarray(np.asarray(out[k]).T.copy())
+    return packed
 
 
 def pack_mediums(scene: Scene) -> dict:
@@ -332,6 +338,14 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
             "uv0": jnp.asarray(tris_leaf.uvs[:, 0]),
             "uv1": jnp.asarray(tris_leaf.uvs[:, 1]),
             "uv2": jnp.asarray(tris_leaf.uvs[:, 2]),
+            # Component-major (9, T)/(6, T) shading tables (same rationale
+            # as geo_T: per-ray fetches are flat scalar gathers).
+            "n_T": jnp.asarray(np.concatenate(
+                [tris_leaf.normals[:, 0], tris_leaf.normals[:, 1],
+                 tris_leaf.normals[:, 2]], axis=-1).astype(np.float32).T.copy()),
+            "uv_T": jnp.asarray(np.concatenate(
+                [tris_leaf.uvs[:, 0], tris_leaf.uvs[:, 1],
+                 tris_leaf.uvs[:, 2]], axis=-1).astype(np.float32).T.copy()),
         },
         "instances": _pack_instances(scene, geo),
         "materials": materials,
