@@ -9,18 +9,20 @@ rays inside one Mosaic program: ray state, per-ray stacks and the scene
 tables all live in VMEM, so an iteration touches no HBM at all.
 
 Mosaic has no per-lane gather primitive ("Cannot do int indexing on TPU"),
-so table fetches are one-hot contractions on the MXU: rows of the packed
-(N, 16) node/instance/triangle matrices are fetched as
-`onehot(idx) @ table`. This bounds the supported scene size (the one-hot is
-(BLOCK, N)); `supports()` gates on it, and the caller falls back to the XLA
-path for larger scenes. The CWBVH byte-quantized layout (bvh/bvh8.py) is the
-planned path to VMEM-resident Sponza-scale tables.
+so table fetches are scalar select-scans: the (16, N) tables live in SMEM,
+and each row element is loaded as a scalar and broadcast against an
+(8, 128) lane-index compare (O(N) per fetch, but fully register-resident —
+one-hot formulations materialize (8, 128, N) intermediates that pad N to
+128 lanes and OOM VMEM). `supports()` gates on the SMEM table budget; the
+caller falls back to the XLA path for larger scenes. The CWBVH
+byte-quantized layout (bvh/bvh8.py) streamed through VMEM is the planned
+path to Sponza-scale tables.
 
-Table column layouts (packed by ops/buffers.py `_pack_pallas_tables`):
-  node_mat (N, 16):  [0:12] child AABBs (lmin,lmax,rmin,rmax), [12] left,
+Table row layouts (packed by ops/buffers.py `_pack_pallas`):
+  node_mat (16, N):  [0:12] child AABBs (lmin,lmax,rmin,rmax), [12] left,
                      [13] count (+1 tri leaf / 0 interior / -1 instance leaf)
-  inst_mat (I, 16):  [0:12] inverse transform rows, [12] blas_root
-  tri_mat  (T, 16):  [0:9] p0|e1|e2
+  inst_mat (16, I):  [0:12] inverse transform rows, [12] blas_root
+  tri_mat  (16, T):  [0:9] p0|e1|e2
 """
 
 from __future__ import annotations
@@ -37,15 +39,19 @@ BLOCK = 1024  # rays per grid step, shaped (8, 128)
 STACK_DEPTH = 48
 LEAF_SIZE = 4
 RESTORE = -1
-MAX_ONEHOT_N = 1024  # one-hot width cap: tables beyond this use the XLA path
+# SMEM budget for the three (16, N) f32 tables. Measured on v5e: 536 KB of
+# tables compiles, 1.3 MB fails SMEM allocation; 600 KB keeps headroom. The
+# select-scan fetch is O(table length) per iteration, but it beats the XLA
+# while_loop path at every size that fits (2.7x at N=3254/T=5120; 25x at
+# N=931 — the XLA path pays ~100 fusion launches per iteration regardless).
+MAX_TABLE_BYTES = 600_000
 
 _DIV_EPS = 1e-12
 _RAY_EPS = 1e-4
 
 
 def supports(num_nodes: int, num_tris: int, num_instances: int) -> bool:
-    return (num_nodes <= MAX_ONEHOT_N and num_tris <= MAX_ONEHOT_N
-            and num_instances <= MAX_ONEHOT_N)
+    return 64 * (num_nodes + num_tris + num_instances) <= MAX_TABLE_BYTES
 
 
 def pack_tables(nodes, tris, instances):
@@ -67,30 +73,6 @@ def pack_tables(nodes, tris, instances):
     tri_mat[0:9] = np.asarray(tris["geo_T"])
 
     return (jnp.asarray(node_mat), jnp.asarray(inst_mat), jnp.asarray(tri_mat))
-
-
-def _rows(table, idx, n):
-    """One-hot row fetch: (B,) indices -> (B, 16) rows via MXU contraction."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
-    onehot = (iota == idx[:, None]).astype(jnp.float32)
-    return jax.lax.dot_general(onehot, table, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _slab(row, lo, ox, oy, oz, ix, iy, iz, t_max):
-    tx0 = (row[:, lo + 0] - ox) * ix
-    ty0 = (row[:, lo + 1] - oy) * iy
-    tz0 = (row[:, lo + 2] - oz) * iz
-    tx1 = (row[:, lo + 3] - ox) * ix
-    ty1 = (row[:, lo + 4] - oy) * iy
-    tz1 = (row[:, lo + 5] - oz) * iz
-    t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-    t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1))
-    t_near_c = jnp.maximum(t_near, 0.0)
-    hit = (t_near <= t_far) & (t_far > 0.0) & (t_near_c < t_max)
-    return hit, t_near_c
 
 
 def _inv1(c):

@@ -35,7 +35,7 @@ def cornell_wave():
 
 def test_supports_gate():
     assert ptv.supports(100, 100, 8)
-    assert not ptv.supports(ptv.MAX_ONEHOT_N + 1, 10, 1)
+    assert not ptv.supports(ptv.MAX_TABLE_BYTES // 64, 10, 1)
 
 
 def test_matches_xla_traversal(cornell_wave):
