@@ -30,13 +30,16 @@ from gpu_raytracer_tpu.ops.sampling import (
     orthonormal_basis,
     sample_cosine_hemisphere,
 )
+from gpu_raytracer_tpu.ops.pallas_traverse import trace_any_pallas, trace_closest_pallas
 from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas
 from gpu_raytracer_tpu.scene.scene import Scene
 
 
-@functools.partial(jax.jit, static_argnames=("config", "width", "seed"))
+@functools.partial(jax.jit, static_argnames=("config", "width", "seed",
+                                              "use_pallas"))
 def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
-                   sample_index, config: GPUConfig, width: int, seed: int = 0):
+                   sample_index, config: GPUConfig, width: int, seed: int = 0,
+                   use_pallas: bool = False):
     """One AO sample for a wave of pixels -> (R, 3) grayscale visibility."""
     R = pixel_index.shape[0]
     nodes, tris = buffers["nodes"], buffers["tris"]
@@ -44,8 +47,12 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
     ray_o, ray_d = generate_primary_rays(
         camera, pixel_index, width, sample_index, config.reconstruction_filter, seed)
-    hit = trace_closest_tlas(nodes, tris, instances, ray_o, ray_d,
-                             jnp.full(R, INF))
+    if use_pallas:
+        hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
+                                   jnp.full(R, INF))
+    else:
+        hit = trace_closest_tlas(nodes, tris, instances, ray_o, ray_d,
+                                 jnp.full(R, INF))
     hit_surface = hit.tri >= 0
 
     point, geom_n, shading_n, _, _, _, _ = _interpolate_hit(tris, instances, hit)
@@ -63,9 +70,11 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     ao_dir = local_to_world(local_dir, tangent, bitangent, shading_n)
     ao_o = _offset_origin(point, ao_dir, geom_n)
 
-    occluded = trace_any_tlas(nodes, tris, instances, ao_o, ao_dir,
-                              jnp.where(hit_surface,
-                                        jnp.float32(config.ao_radius), 0.0))
+    ao_tmax = jnp.where(hit_surface, jnp.float32(config.ao_radius), 0.0)
+    if use_pallas:
+        occluded = trace_any_pallas(*buffers["pallas"], ao_o, ao_dir, ao_tmax)
+    else:
+        occluded = trace_any_tlas(nodes, tris, instances, ao_o, ao_dir, ao_tmax)
     visibility = jnp.where(hit_surface, (~occluded).astype(jnp.float32), 1.0)
     return jnp.broadcast_to(visibility[:, None], (R, 3))
 
@@ -108,8 +117,11 @@ class AO:
         num_pixels = self.width * self.height
         camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
         idx = jnp.arange(num_pixels, dtype=jnp.int32)
+        use_pallas = (self.buffers.get("pallas") is not None
+                      and jax.default_backend() == "tpu")
         frame = render_wave_ao(self.buffers, camera, idx, self.sample_index,
-                               self.gpu_config, self.width, self.cpu_config.seed)
+                               self.gpu_config, self.width, self.cpu_config.seed,
+                               use_pallas=use_pallas)
         self.accumulator = self.accumulator + (frame - self.accumulator) / (self.sample_index + 1)
         self.sample_index += 1
 
