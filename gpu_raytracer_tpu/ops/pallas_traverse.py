@@ -94,17 +94,26 @@ def _kernel(any_hit, node_ref, inst_ref, tri_ref,
 
     depth_iota = jax.lax.broadcasted_iota(jnp.int32, (STACK_DEPTH,) + SHAPE, 0)
 
-    def fetch(table_ref, idx, cols, n):
+    def fetch(table_ref, idx, cols, n, mask=None):
         """Per-lane gather as a scalar select-scan: tables live in SMEM and
         each row element is broadcast against an (8, 128) lane-index compare.
-        O(n) scalar loads but zero 3-D intermediates (a one-hot formulation
-        pads the table axis to 128 lanes and OOMs VMEM)."""
+        Scalar loads with zero 3-D intermediates (a one-hot formulation pads
+        the table axis to 128 lanes and OOMs VMEM). The scan covers only
+        [min(idx), max(idx)] over `mask`ed lanes — coherent ray blocks visit
+        clustered rows, so the dynamic range is usually a small fraction of
+        the table."""
+        if mask is not None:
+            lo = jnp.min(jnp.where(mask, idx, n - 1))
+            hi = jnp.max(jnp.where(mask, idx, 0)) + 1
+        else:
+            lo = jnp.min(idx)
+            hi = jnp.max(idx) + 1
         def body(j, accs):
             sel = idx == j
             return tuple(jnp.where(sel, table_ref[c, j], a)
                          for c, a in zip(cols, accs))
         init = tuple(jnp.zeros(SHAPE, jnp.float32) for _ in cols)
-        return list(jax.lax.fori_loop(0, n, body, init))
+        return list(jax.lax.fori_loop(lo, hi, body, init))
 
     wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
     wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -128,7 +137,8 @@ def _kernel(any_hit, node_ref, inst_ref, tri_ref,
 
         is_restore = active & (entry == RESTORE)
         node = jnp.maximum(entry, 0)
-        nvals = fetch(node_ref, node, list(range(14)), N)
+        node = jnp.where(active, node, 0)
+        nvals = fetch(node_ref, node, list(range(14)), N, mask=active)
         left = nvals[12].astype(jnp.int32)
         count = nvals[13].astype(jnp.int32)
 
@@ -147,32 +157,40 @@ def _kernel(any_hit, node_ref, inst_ref, tri_ref,
         ivz = jnp.where(is_restore, wiz, ivz)
         cur_inst = jnp.where(is_restore, -1, cur_inst)
 
-        # ---- leaf: LEAF_SIZE packed triangle fetches ----
-        for j in range(LEAF_SIZE):
-            ti = jnp.clip(left + j, 0, T - 1)
-            g = fetch(tri_ref, ti, list(range(9)), T)
-            p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = g
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / jnp.where(jnp.abs(a) < _DIV_EPS, _DIV_EPS, a)
-            sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            hit = ((jnp.abs(a) >= _DIV_EPS) & (u >= 0.0) & (u <= 1.0)
-                   & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > _RAY_EPS) & (t < best_t))
-            take = is_tri_leaf & (j < count) & hit
-            best_t = jnp.where(take, t, best_t)
-            best_tri = jnp.where(take, ti, best_tri)
-            best_inst = jnp.where(take, cur_inst, best_inst)
-            best_u = jnp.where(take, u, best_u)
-            best_v = jnp.where(take, v, best_v)
+        # ---- leaf: LEAF_SIZE packed triangle fetches. The O(T) scan only
+        # runs when some lane is actually in a leaf this iteration. ----
+        def leaf_phase(args):
+            best_t, best_tri, best_inst, best_u, best_v = args
+            for j in range(LEAF_SIZE):
+                ti = jnp.clip(jnp.where(is_tri_leaf, left, 0) + j, 0, T - 1)
+                g = fetch(tri_ref, ti, list(range(9)), T, mask=is_tri_leaf)
+                p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = g
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / jnp.where(jnp.abs(a) < _DIV_EPS, _DIV_EPS, a)
+                sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                hit = ((jnp.abs(a) >= _DIV_EPS) & (u >= 0.0) & (u <= 1.0)
+                       & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > _RAY_EPS) & (t < best_t))
+                take = is_tri_leaf & (j < count) & hit
+                best_t = jnp.where(take, t, best_t)
+                best_tri = jnp.where(take, ti, best_tri)
+                best_inst = jnp.where(take, cur_inst, best_inst)
+                best_u = jnp.where(take, u, best_u)
+                best_v = jnp.where(take, v, best_v)
+            return best_t, best_tri, best_inst, best_u, best_v
+
+        (best_t, best_tri, best_inst, best_u, best_v) = jax.lax.cond(
+            jnp.any(is_tri_leaf), leaf_phase, lambda a: a,
+            (best_t, best_tri, best_inst, best_u, best_v))
 
         # ---- interior: both child slabs from the fetched node row ----
         def slab(c0):
@@ -199,26 +217,39 @@ def _kernel(any_hit, node_ref, inst_ref, tri_ref,
         far_hit = (near_is_left & hit_r) | (~near_is_left & hit_l)
         near_hit = (near_is_left & hit_l) | (~near_is_left & hit_r)
 
-        # ---- instance leaf: world -> object transform ----
-        inst_idx = jnp.where(is_inst_leaf, left, 0)
-        m = fetch(inst_ref, inst_idx, list(range(13)), I)
-        blas_root = m[12].astype(jnp.int32)
-        o2x = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
-        o2y = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
-        o2z = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
-        d2x = m[0] * wdx + m[1] * wdy + m[2] * wdz
-        d2y = m[4] * wdx + m[5] * wdy + m[6] * wdz
-        d2z = m[8] * wdx + m[9] * wdy + m[10] * wdz
-        ox = jnp.where(is_inst_leaf, o2x, ox)
-        oy = jnp.where(is_inst_leaf, o2y, oy)
-        oz = jnp.where(is_inst_leaf, o2z, oz)
-        dx = jnp.where(is_inst_leaf, d2x, dx)
-        dy = jnp.where(is_inst_leaf, d2y, dy)
-        dz = jnp.where(is_inst_leaf, d2z, dz)
-        ivx = jnp.where(is_inst_leaf, _inv1(d2x), ivx)
-        ivy = jnp.where(is_inst_leaf, _inv1(d2y), ivy)
-        ivz = jnp.where(is_inst_leaf, _inv1(d2z), ivz)
-        cur_inst = jnp.where(is_inst_leaf, left, cur_inst)
+        # ---- instance leaf: world -> object transform. Instance leaves
+        # only occur in the first iterations of each restart; gate the O(I)
+        # scan on any lane needing it. ----
+        def inst_phase(args):
+            ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cur_inst, _ = args
+            inst_idx = jnp.where(is_inst_leaf, left, 0)
+            m = fetch(inst_ref, inst_idx, list(range(13)), I,
+                      mask=is_inst_leaf)
+            blas_root = m[12].astype(jnp.int32)
+            o2x = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+            o2y = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+            o2z = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+            d2x = m[0] * wdx + m[1] * wdy + m[2] * wdz
+            d2y = m[4] * wdx + m[5] * wdy + m[6] * wdz
+            d2z = m[8] * wdx + m[9] * wdy + m[10] * wdz
+            ox = jnp.where(is_inst_leaf, o2x, ox)
+            oy = jnp.where(is_inst_leaf, o2y, oy)
+            oz = jnp.where(is_inst_leaf, o2z, oz)
+            dx = jnp.where(is_inst_leaf, d2x, dx)
+            dy = jnp.where(is_inst_leaf, d2y, dy)
+            dz = jnp.where(is_inst_leaf, d2z, dz)
+            ivx = jnp.where(is_inst_leaf, _inv1(d2x), ivx)
+            ivy = jnp.where(is_inst_leaf, _inv1(d2y), ivy)
+            ivz = jnp.where(is_inst_leaf, _inv1(d2z), ivz)
+            cur_inst2 = jnp.where(is_inst_leaf, left, cur_inst)
+            return (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cur_inst2,
+                    blas_root)
+
+        (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cur_inst,
+         blas_root) = jax.lax.cond(
+            jnp.any(is_inst_leaf), inst_phase, lambda a: a,
+            (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cur_inst,
+             jnp.zeros(SHAPE, jnp.int32)))
 
         push1 = far_hit | is_inst_leaf
         push2 = near_hit | is_inst_leaf
