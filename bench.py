@@ -36,7 +36,11 @@ def main() -> int:
     config = GPUConfig(num_bounces=6)
     buffers = build_scene_buffers(scene)
     camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
-    pixel_index = jnp.arange(W * H, dtype=jnp.int32)
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
+
+    # 32x32 screen tiles: keeps each traversal block's rays spatially
+    # coherent so the kernel's adaptive scan windows stay small.
+    pixel_index = jnp.asarray(tile_order(W, H))
 
     use_pallas = (buffers.get("pallas") is not None
                   and jax.default_backend() == "tpu")

@@ -578,10 +578,16 @@ class Pathtracer:
         wave = min(self.cpu_config.batch_size, num_pixels)
         camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
 
+        if getattr(self, "_tile_order", None) is None or                 self._tile_order.shape[0] != num_pixels:
+            from gpu_raytracer_tpu.ops.camera_rays import tile_order
+
+            self._tile_order = jnp.asarray(tile_order(self.width, self.height))
+
         frame = jnp.zeros((num_pixels, 3), jnp.float32)
         for offset in range(0, num_pixels, wave):
-            idx = offset + jnp.arange(wave, dtype=jnp.int32)
-            idx = jnp.minimum(idx, num_pixels - 1)  # tail wave: clamp (dup work)
+            pos = offset + jnp.arange(wave, dtype=jnp.int32)
+            pos = jnp.minimum(pos, num_pixels - 1)  # tail wave: clamp (dup work)
+            idx = self._tile_order[pos]
             colors = render_wave(self.buffers, camera, idx, self.sample_index,
                                  self.gpu_config, self.width, self.cpu_config.seed,
                                  self.scene.has_lights,
@@ -589,7 +595,7 @@ class Pathtracer:
                                  has_media=len(self.scene.mediums) > 0,
                                  use_pallas=self.use_pallas)
             count = min(wave, num_pixels - offset)
-            frame = jax.lax.dynamic_update_slice(frame, colors[:count], (offset, 0))
+            frame = frame.at[idx[:count]].set(colors[:count])
 
         self.accumulator = self.accumulator + (frame - self.accumulator) / (self.sample_index + 1)
         self.sample_index += 1

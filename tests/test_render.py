@@ -230,3 +230,22 @@ class TestMultichip:
                                   place_replicated(mesh, _camera_dict(scene)),
                                   place_sharded(mesh, idx), 0))
         np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_tile_order_render_matches_linear(cornell):
+    """Ray submission order must not change any pixel's radiance."""
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
+
+    scene, bufs = cornell
+    W = scene.film_width
+    cfg = GPUConfig(num_bounces=2)
+    cam = _camera_dict(scene)
+    lin = jnp.arange(W * W, dtype=jnp.int32)
+    til = jnp.asarray(tile_order(W, W, tile=8))
+    a = np.asarray(render_wave(bufs, cam, lin, 3, cfg, W, 0, scene.has_lights))
+    b = np.asarray(render_wave(bufs, cam, til, 3, cfg, W, 0, scene.has_lights))
+    img_a = np.zeros_like(a)
+    img_b = np.zeros_like(b)
+    img_a[np.asarray(lin)] = a
+    img_b[np.asarray(til)] = b
+    np.testing.assert_array_equal(img_a, img_b)
