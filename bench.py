@@ -44,10 +44,12 @@ def main() -> int:
 
     use_pallas = (buffers.get("pallas") is not None
                   and jax.default_backend() == "tpu")
+    use_shade = use_pallas and buffers.get("pallas_shade") is not None
 
     def sample(s):
         return render_wave(buffers, camera, pixel_index, s, config, W, 0,
-                           scene.has_lights, True, use_pallas=use_pallas)
+                           scene.has_lights, True, use_pallas=use_pallas,
+                           use_pallas_shade=use_shade)
 
     # Warmup / compile.
     radiance, rays = sample(0)

@@ -119,12 +119,14 @@ def _interpolate_hit(tris, instances, hit):
 @functools.partial(jax.jit,
                    static_argnames=("config", "width", "seed", "has_lights",
                                     "with_stats", "has_textures", "with_aovs",
-                                    "has_media", "use_pallas"))
+                                    "has_media", "use_pallas",
+                                    "use_pallas_shade"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
-                has_media: bool = False, use_pallas: bool = False):
+                has_media: bool = False, use_pallas: bool = False,
+                use_pallas_shade: bool = False):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -166,6 +168,56 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     cone_angle = jnp.broadcast_to(camera["pixel_spread_angle"], (R,))
     cone_width = jnp.zeros(R, jnp.float32)
     medium_id = jnp.full(R, -1, jnp.int32)  # current homogeneous medium
+
+    def fast_bounce_body(bounce, carry):
+        """Fused Pallas shade path for diffuse/emissive scenes (no AOVs,
+        media or textures — gated by _pack_pallas_shade). Mirrors the XLA
+        bounce body below; see ops/pallas_shade.py."""
+        from gpu_raytracer_tpu.ops.pallas_shade import shade_diffuse_pallas
+
+        (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
+         medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
+         aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
+
+        rays_traced = rays_traced + jnp.sum(alive)
+        hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
+                                   jnp.where(alive, INF, jnp.float32(0.0)))
+
+        u_pick, _ = draw2(rng.SampleDimension.NEE_LIGHT,
+                          pixel_index, bounce, sample_index)
+        u_b1, u_b2 = draw2(rng.SampleDimension.NEE_TRIANGLE,
+                           pixel_index, bounce, sample_index)
+        u_d0, u_d1 = draw2(rng.SampleDimension.BSDF_1,
+                           pixel_index, bounce, sample_index)
+        u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
+                        pixel_index, bounce, sample_index)
+        params = jnp.zeros(16, jnp.float32)
+        params = params.at[0].set(bounce.astype(jnp.float32))
+        params = params.at[1].set(jnp.float32(config.num_bounces))
+        sky_rgb = buffers["sky"][0, 0] * buffers["sky_scale"]
+        params = params.at[2:5].set(sky_rgb)
+        params = params.at[5].set(lights["total_weight"])
+
+        out = shade_diffuse_pallas(
+            buffers["pallas_shade"], params, hit, ray_o, ray_d, throughput,
+            alive, prev_allow_nee, last_pdf,
+            (u_pick, u_b1, u_b2, u_d0, u_d1, u_rr),
+            enable_nee=nee_possible, enable_mis=config.enable_mis,
+            enable_rr=config.enable_russian_roulette)
+
+        radiance = radiance + out["radiance_add"]
+        if nee_possible:
+            want = out["shadow_tmax"] > 0.0
+            rays_traced = rays_traced + jnp.sum(want)
+            occluded = trace_any_pallas(*buffers["pallas"], out["shadow_o"],
+                                        out["shadow_d"], out["shadow_tmax"])
+            radiance = radiance + jnp.where((want & ~occluded)[:, None],
+                                            out["illumination"], 0.0)
+        return (out["ray_o"], out["ray_d"], radiance, out["throughput"],
+                out["alive"], out["prev_allow_nee"], out["last_pdf"],
+                medium_id, cone_width, direct, aov_albedo, aov_normal,
+                aov_position, aov_position_prev, aov_depth, aov_instance,
+                rays_traced)
 
     def bounce_body(bounce, carry):
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
@@ -462,6 +514,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 aov_position, aov_position_prev, aov_depth, aov_instance,
                 rays_traced)
 
+    body = fast_bounce_body if use_pallas_shade else bounce_body
     carry = (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
              last_pdf, medium_id, cone_width, direct, aov_albedo, aov_normal,
              aov_position, aov_position_prev, aov_depth, aov_instance,
@@ -469,7 +522,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     # Bounce loop as lax.fori_loop: the per-bounce program is traced ONCE, so
     # compile time is independent of num_bounces (the unrolled form made
     # 48-bounce furnace configs take tens of minutes to compile).
-    carry = jax.lax.fori_loop(0, config.num_bounces, bounce_body, carry)
+    carry = jax.lax.fori_loop(0, config.num_bounces, body, carry)
     (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
      medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
      aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
@@ -540,6 +593,13 @@ class Pathtracer:
                 and self.buffers.get("pallas") is not None
                 and jax.default_backend() == "tpu")
 
+    @property
+    def use_pallas_shade(self) -> bool:
+        """The fused shade megakernel runs for diffuse/emissive scenes on
+        TPU when not rendering AOVs (ops/pallas_shade.py gate)."""
+        return (self.use_pallas
+                and self.buffers.get("pallas_shade") is not None)
+
     def update(self, delta: float = 0.0) -> None:
         """Selective re-upload per invalidation flags (reference
         Integrator::update, Integrator.cpp:432-528)."""
@@ -593,7 +653,8 @@ class Pathtracer:
                                  self.scene.has_lights,
                                  has_textures=len(self.scene.textures) > 0,
                                  has_media=len(self.scene.mediums) > 0,
-                                 use_pallas=self.use_pallas)
+                                 use_pallas=self.use_pallas,
+                                 use_pallas_shade=self.use_pallas_shade)
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
 

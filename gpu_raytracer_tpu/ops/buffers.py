@@ -356,7 +356,49 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
         "sky_scale": jnp.float32(scene.sky.scale if scene.sky else 1.0),
     }
     buffers["pallas"] = _pack_pallas(buffers)
+    buffers["pallas_shade"] = _pack_pallas_shade(buffers, scene)
     return buffers
+
+
+def _pack_pallas_shade(buffers: dict, scene: Scene):
+    """SMEM tables for the diffuse-scene shade megakernel, or None when the
+    scene falls outside its gate (ops/pallas_shade.py)."""
+    from gpu_raytracer_tpu.ops import pallas_shade as psh
+
+    if buffers.get("pallas") is None:
+        return None
+    mats = buffers["materials"]
+    tris = buffers["tris"]
+    insts = buffers["instances"]
+    lights = buffers["lights"]
+    t = int(np.asarray(tris["geo_T"]).shape[1])
+    i = int(np.asarray(insts["blas_root"]).shape[0])
+    l = int(np.asarray(lights["tri"]).shape[0])
+    if not psh.supports_shade(np.asarray(mats["type"]), t, i, l,
+                              len(scene.textures) > 0,
+                              len(scene.mediums) > 0,
+                              np.asarray(buffers["sky"]).shape):
+        return None
+
+    tri_geo = buffers["pallas"][2]  # the traversal (16, T) geo table
+    tri_nrm = np.zeros((16, t), np.float32)
+    tri_nrm[0:9] = np.asarray(tris["n_T"])
+    inst_a = np.zeros((16, i), np.float32)
+    inst_a[0:12] = np.asarray(insts["fwd_T"])
+    inst_a[12] = np.asarray(insts["material_id"], np.float32)
+    inst_b = np.zeros((16, i), np.float32)
+    inst_b[0:12] = np.asarray(insts["inv_T"])
+    m = int(np.asarray(mats["type"]).shape[0])
+    mat_tbl = np.zeros((16, m), np.float32)
+    mat_tbl[0] = np.asarray(mats["type"], np.float32)
+    mat_tbl[1:4] = np.asarray(mats["emission_T"])
+    mat_tbl[4:7] = np.asarray(mats["diffuse_T"])
+    lgt_tbl = np.zeros((16, l), np.float32)
+    lgt_tbl[0] = np.asarray(lights["cdf"])
+    lgt_tbl[1] = np.asarray(lights["tri"], np.float32)
+    lgt_tbl[2] = np.asarray(lights["inst"], np.float32)
+    return (tri_geo, jnp.asarray(tri_nrm), jnp.asarray(inst_a),
+            jnp.asarray(inst_b), jnp.asarray(mat_tbl), jnp.asarray(lgt_tbl))
 
 
 def _pack_pallas(buffers: dict):
@@ -402,4 +444,6 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
         out["lights"] = lights
     if buffers.get("pallas") is not None:
         out["pallas"] = _pack_pallas(out)
+    if buffers.get("pallas_shade") is not None:
+        out["pallas_shade"] = _pack_pallas_shade(out, scene)
     return out

@@ -1,0 +1,437 @@
+"""Pallas TPU shade megakernel for diffuse/emissive scenes.
+
+The XLA bounce body lowers to ~150 small fusions per bounce, each paying a
+kernel launch plus HBM round trips of the (R,) wavefront state — measured
+~330 ms/bounce at R=262144 on a v5e while the traversal kernel needs 12 ms.
+This kernel fuses the ENTIRE per-bounce shade stage (sky on miss, emissive
+MIS, russian roulette, hit interpolation, two-sided frame, albedo fold, NEE
+shadow-ray setup, cosine BSDF sample) into one Mosaic program, mirroring the
+reference's material kernel (Src/CUDA/Pathtracer.cu:465-773 shade_material +
+220-463 kernel_sort) but for the diffuse+light material subset.
+
+Scope gate (`supports_shade`): every material is DIFFUSE or LIGHT, no
+textures/media/AOVs, constant (1x1) sky — exactly the Cornell-class scenes.
+Everything else keeps the XLA shading path. Low-discrepancy sampler draws
+stay OUTSIDE the kernel (they need the PMJ/blue-noise tables and per-pixel
+streams); the kernel consumes 6 pre-drawn uniforms per ray.
+
+Table layouts (packed by ops/buffers.py `_pack_pallas_shade`):
+  tri_geo (16, T): [0:9]  p0|e1|e2 (object space; same as the traversal table)
+  tri_nrm (16, T): [0:9]  n0|n1|n2 (object space)
+  inst_a  (16, I): [0:12] forward transform rows, [12] material_id
+  inst_b  (16, I): [0:12] inverse transform rows
+  mat_tbl (16, M): [0] type, [1:4] emission, [4:7] diffuse
+  lgt_tbl (16, L): [0] cdf, [1] light tri id, [2] light instance id
+  params  (16, 1): [0] bounce, [1] num_bounces, [2:5] sky rgb (scale folded),
+                   [5] lights total_weight
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 1024
+SHAPE = (8, 128)
+_EPS = 1e-4         # ray-origin offset (reference Common.h:75)
+_PI = float(np.pi)
+_MAT_LIGHT = 0      # overwritten by scene.types at import below
+_MAT_DIFFUSE = 1
+
+from gpu_raytracer_tpu.scene.types import MaterialType  # noqa: E402
+
+_MAT_LIGHT = int(MaterialType.LIGHT)
+_MAT_DIFFUSE = int(MaterialType.DIFFUSE)
+
+# SMEM budget shared with the traversal tables (see pallas_traverse).
+MAX_SHADE_TABLE_BYTES = 600_000
+
+# Test hook: CPU-backend tests flip this before first use to run the kernel
+# through the Pallas interpreter (read at trace time).
+FORCE_INTERPRET = False
+
+
+def supports_shade(mat_types, num_tris: int, num_instances: int,
+                   num_lights: int, has_textures: bool, has_media: bool,
+                   sky_shape) -> bool:
+    types = set(int(t) for t in np.asarray(mat_types))
+    if not types.issubset({_MAT_LIGHT, _MAT_DIFFUSE}):
+        return False
+    if has_textures or has_media:
+        return False
+    if tuple(sky_shape[:2]) != (1, 1):
+        return False
+    total = 2 * num_tris + 2 * num_instances + num_lights + 16
+    return 64 * total <= MAX_SHADE_TABLE_BYTES
+
+
+def _fetch(table_ref, idx, cols, n, mask):
+    """Select-scan gather over [min, max] of masked lane indices (same
+    primitive as pallas_traverse.fetch)."""
+    lo = jnp.min(jnp.where(mask, idx, n - 1))
+    hi = jnp.max(jnp.where(mask, idx, 0)) + 1
+
+    def body(j, accs):
+        sel = idx == j
+        return tuple(jnp.where(sel, table_ref[c, j], a)
+                     for c, a in zip(cols, accs))
+
+    init = tuple(jnp.zeros(SHAPE, jnp.float32) for _ in cols)
+    return list(jax.lax.fori_loop(lo, hi, body, init))
+
+
+def _norm3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    return x * inv, y * inv, z * inv
+
+
+def _affine_pt(m, x, y, z):
+    return (m[0] * x + m[1] * y + m[2] * z + m[3],
+            m[4] * x + m[5] * y + m[6] * z + m[7],
+            m[8] * x + m[9] * y + m[10] * z + m[11])
+
+
+def _affine_dir(m, x, y, z):
+    return (m[0] * x + m[1] * y + m[2] * z,
+            m[4] * x + m[5] * y + m[6] * z,
+            m[8] * x + m[9] * y + m[10] * z)
+
+
+def _inv_transpose_dir(m, x, y, z):
+    """n'_j = sum_i inv[i, j] * n_i (cols of the 3x3 block), normalized."""
+    return _norm3(m[0] * x + m[4] * y + m[8] * z,
+                  m[1] * x + m[5] * y + m[9] * z,
+                  m[2] * x + m[6] * y + m[10] * z)
+
+
+def _offset(px, py, pz, dx, dy, dz, nx, ny, nz):
+    """Epsilon offset along the geometric normal (reference Ray.h:16-18)."""
+    sign = jnp.where(dx * nx + dy * ny + dz * nz >= 0.0, _EPS, -_EPS)
+    return px + sign * nx, py + sign * ny, pz + sign * nz
+
+
+def _sample_disk(u1, u2):
+    a = 2.0 * u1 - 1.0
+    b = 2.0 * u2 - 1.0
+    use_a = jnp.abs(a) > jnp.abs(b)
+    r = jnp.where(use_a, a, b)
+    safe = jnp.where(r == 0.0, 1.0, r)
+    phi = jnp.where(use_a, (_PI / 4.0) * (b / safe),
+                    (_PI / 2.0) - (_PI / 4.0) * (a / safe))
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def _kernel(enable_nee, enable_mis, enable_rr,
+            params_ref, tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, lgt_tbl,
+            t_ref, tri_ref, inst_ref, u_ref, v_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            tpx_ref, tpy_ref, tpz_ref, alive_ref, pnee_ref, lpdf_ref,
+            r0_ref, r1_ref, r2_ref, r3_ref, r4_ref, r5_ref,
+            radx_o, rady_o, radz_o,
+            nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o,
+            ntx_o, nty_o, ntz_o, nalive_o, nnee_o, nlpdf_o,
+            sox_o, soy_o, soz_o, sdx_o, sdy_o, sdz_o, stmax_o,
+            ilx_o, ily_o, ilz_o):
+    T = tri_geo.shape[1]
+    I = inst_a.shape[1]
+    M = mat_tbl.shape[1]
+    L = lgt_tbl.shape[1]
+
+    bounce = params_ref[0, 0]
+    num_bounces = params_ref[1, 0]
+    sky_r, sky_g, sky_b = params_ref[2, 0], params_ref[3, 0], params_ref[4, 0]
+    total_weight = params_ref[5, 0]
+
+    t = t_ref[0]
+    tri = tri_ref[0]
+    inst = inst_ref[0]
+    hu = u_ref[0]
+    hv = v_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    tpx, tpy, tpz = tpx_ref[0], tpy_ref[0], tpz_ref[0]
+    active = alive_ref[0] != 0
+    prev_nee = pnee_ref[0] != 0
+    last_pdf = lpdf_ref[0]
+    r0, r1, r2 = r0_ref[0], r1_ref[0], r2_ref[0]
+    r3, r4, r5 = r3_ref[0], r4_ref[0], r5_ref[0]
+
+    radx = jnp.zeros(SHAPE, jnp.float32)
+    rady = jnp.zeros(SHAPE, jnp.float32)
+    radz = jnp.zeros(SHAPE, jnp.float32)
+
+    # ---- sky on miss (constant sky; reference Pathtracer.cu:328-343) ----
+    missed = active & (tri < 0)
+    radx = radx + jnp.where(missed, tpx * sky_r, 0.0)
+    rady = rady + jnp.where(missed, tpy * sky_g, 0.0)
+    radz = radz + jnp.where(missed, tpz * sky_b, 0.0)
+    active = active & ~missed
+
+    ti = jnp.maximum(tri, 0)
+    ii = jnp.maximum(inst, 0)
+
+    # ---- material + instance transforms ----
+    ia = _fetch(inst_a, ii, list(range(13)), I, active)
+    fwd = ia[0:12]
+    mat_id = ia[12].astype(jnp.int32)
+    inv = _fetch(inst_b, ii, list(range(12)), I, active)
+    mv = _fetch(mat_tbl, mat_id, list(range(7)), M, active)
+    mtype = mv[0].astype(jnp.int32)
+    em_r, em_g, em_b = mv[1], mv[2], mv[3]
+    al_r, al_g, al_b = mv[4], mv[5], mv[6]
+
+    # ---- hit geometry (reference Pathtracer.cu:596-650) ----
+    g = _fetch(tri_geo, ti, list(range(9)), T, active)
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = g
+    pox = p0x + hu * e1x + hv * e2x
+    poy = p0y + hu * e1y + hv * e2y
+    poz = p0z + hu * e1z + hv * e2z
+    px, py, pz = _affine_pt(fwd, pox, poy, poz)
+    cgx = e1y * e2z - e1z * e2y
+    cgy = e1z * e2x - e1x * e2z
+    cgz = e1x * e2y - e1y * e2x
+    gnx, gny, gnz = _inv_transpose_dir(inv, cgx, cgy, cgz)
+
+    # ---- emissive hit with MIS (reference Pathtracer.cu:354-421) ----
+    is_light = active & (mtype == _MAT_LIGHT)
+    lum = 0.2126 * em_r + 0.7152 * em_g + 0.0722 * em_b
+    cos_l = jnp.abs(dx * gnx + dy * gny + dz * gnz)
+    lpdf_here = lum * t * t / jnp.maximum(cos_l * total_weight, 1e-20)
+    pdf_ok = jnp.isfinite(lpdf_here) & (lpdf_here > 0)
+    if enable_nee:
+        full = ~prev_nee
+        if enable_mis:
+            w = (last_pdf * last_pdf
+                 / jnp.maximum(last_pdf * last_pdf
+                               + lpdf_here * lpdf_here, 1e-20))
+            mis_w = jnp.where(full, 1.0, jnp.where(pdf_ok, w, 0.0))
+        else:
+            mis_w = jnp.where(full, 1.0, 0.0)
+        mis_w = jnp.where(bounce == 0, 1.0, mis_w)
+    else:
+        mis_w = jnp.ones(SHAPE, jnp.float32)
+    radx = radx + jnp.where(is_light, tpx * em_r * mis_w, 0.0)
+    rady = rady + jnp.where(is_light, tpy * em_g * mis_w, 0.0)
+    radz = radz + jnp.where(is_light, tpz * em_b * mis_w, 0.0)
+    active = active & ~is_light
+
+    # ---- bounce cap + russian roulette (reference Pathtracer.cu:199-218) ----
+    active = active & (bounce < num_bounces - 1)
+    if enable_rr:
+        survival = jnp.clip(jnp.maximum(tpx, jnp.maximum(tpy, tpz)), 0.0, 1.0)
+        rr_on = bounce > 0
+        active = active & ~(rr_on & (r5 > survival))
+        inv_s = 1.0 / jnp.maximum(survival, 1e-8)
+        tpx = jnp.where(rr_on, tpx * inv_s, tpx)
+        tpy = jnp.where(rr_on, tpy * inv_s, tpy)
+        tpz = jnp.where(rr_on, tpz * inv_s, tpz)
+
+    # ---- shading frame (reference Pathtracer.cu:643-653) ----
+    nr = _fetch(tri_nrm, ti, list(range(9)), T, active)
+    w0 = 1.0 - hu - hv
+    snx = w0 * nr[0] + hu * nr[3] + hv * nr[6]
+    sny = w0 * nr[1] + hu * nr[4] + hv * nr[7]
+    snz = w0 * nr[2] + hu * nr[5] + hv * nr[8]
+    snx, sny, snz = _inv_transpose_dir(inv, snx, sny, snz)
+    entering = (dx * gnx + dy * gny + dz * gnz) < 0.0
+    flip = jnp.where(entering, 1.0, -1.0)
+    gnx, gny, gnz = gnx * flip, gny * flip, gnz * flip
+    snx, sny, snz = snx * flip, sny * flip, snz * flip
+
+    # Duff et al. branchless ONB about the shading normal.
+    sgn = jnp.where(snz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sgn + snz)
+    b = snx * sny * a
+    tx, ty, tz = 1.0 + sgn * snx * snx * a, sgn * b, -sgn * snx
+    bx, by, bz = b, sgn + sny * sny * a, -sny
+    # omega_i = world_to_local(-ray_d)
+    wiz = -(dx * snx + dy * sny + dz * snz)
+    active = active & (wiz > 0.0)
+
+    # Diffuse folds albedo into throughput at the hit (reference calc_albedo).
+    fold = active & (mtype == _MAT_DIFFUSE)
+    tpx = jnp.where(fold, tpx * al_r, tpx)
+    tpy = jnp.where(fold, tpy * al_g, tpy)
+    tpz = jnp.where(fold, tpz * al_b, tpz)
+
+    # ---- NEE shadow-ray setup (reference Pathtracer.cu:466-555) ----
+    stmax = jnp.zeros(SHAPE, jnp.float32)
+    sox = soy = soz = jnp.zeros(SHAPE, jnp.float32)
+    sdx = jnp.ones(SHAPE, jnp.float32)
+    sdy = sdz = jnp.zeros(SHAPE, jnp.float32)
+    ilx = ily = ilz = jnp.zeros(SHAPE, jnp.float32)
+    if enable_nee:
+        # CDF binary-search equivalent: count of cdf entries < u.
+        def cdf_body(j, k):
+            return k + (r0 > lgt_tbl[0, j]).astype(jnp.int32)
+        k = jax.lax.fori_loop(0, L - 1, cdf_body, jnp.zeros(SHAPE, jnp.int32))
+        lk = _fetch(lgt_tbl, k, [1, 2], L, active)
+        lt = lk[0].astype(jnp.int32)
+        li = lk[1].astype(jnp.int32)
+        # Heitz low-distortion square->triangle map.
+        flip2 = r2 > r1
+        lu = jnp.where(flip2, 0.5 * r1, r1 - 0.5 * r2)
+        lv = jnp.where(flip2, r2 - 0.5 * r1, 0.5 * r2)
+        lg = _fetch(tri_geo, lt, list(range(9)), T, active)
+        lf = _fetch(inst_a, li, list(range(13)), I, active)
+        lfwd = lf[0:12]
+        lmat = lf[12].astype(jnp.int32)
+        le1x, le1y, le1z = _affine_dir(lfwd, lg[3], lg[4], lg[5])
+        le2x, le2y, le2z = _affine_dir(lfwd, lg[6], lg[7], lg[8])
+        lp0x, lp0y, lp0z = _affine_pt(lfwd, lg[0], lg[1], lg[2])
+        lpx = lp0x + lu * le1x + lv * le2x
+        lpy = lp0y + lu * le1y + lv * le2y
+        lpz = lp0z + lu * le1z + lv * le2z
+        lgnx = le1y * le2z - le1z * le2y
+        lgny = le1z * le2x - le1x * le2z
+        lgnz = le1x * le2y - le1y * le2x
+        lgnx, lgny, lgnz = _norm3(lgnx, lgny, lgnz)
+        lem = _fetch(mat_tbl, lmat, [1, 2, 3], M, active)
+        lem_r, lem_g, lem_b = lem
+
+        sox, soy, soz = _offset(px, py, pz, lpx - px, lpy - py, lpz - pz,
+                                gnx, gny, gnz)
+        lpx, lpy, lpz = _offset(lpx, lpy, lpz, sox - lpx, soy - lpy,
+                                soz - lpz, lgnx, lgny, lgnz)
+        tlx, tly, tlz = lpx - sox, lpy - soy, lpz - soz
+        dist = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 0.0))
+        inv_d = 1.0 / jnp.maximum(dist, 1e-20)
+        sdx, sdy, sdz = tlx * inv_d, tly * inv_d, tlz * inv_d
+
+        cos_light = jnp.abs(sdx * lgnx + sdy * lgny + sdz * lgnz)
+        # Diffuse eval: value = pdf = max(cos_o, 0)/pi (albedo folded above).
+        cos_o = sdx * snx + sdy * sny + sdz * snz
+        val = jnp.maximum(cos_o, 0.0) * (1.0 / _PI)
+        llum = 0.2126 * lem_r + 0.7152 * lem_g + 0.0722 * lem_b
+        light_pdf = (llum * dist * dist
+                     / jnp.maximum(cos_light * total_weight, 1e-20))
+        lp_ok = jnp.isfinite(light_pdf) & (light_pdf > 1e-20)
+        if enable_mis:
+            w_nee = (light_pdf * light_pdf
+                     / jnp.maximum(light_pdf * light_pdf + val * val, 1e-20))
+        else:
+            w_nee = jnp.ones(SHAPE, jnp.float32)
+        scale = val * w_nee / jnp.maximum(light_pdf, 1e-20)
+        ilx = tpx * lem_r * scale
+        ily = tpy * lem_g * scale
+        ilz = tpz * lem_b * scale
+        want = active & (cos_o > 0.0) & lp_ok & (cos_light > 1e-6)
+        stmax = jnp.where(want, dist - 2.0 * _EPS, 0.0)
+
+    # ---- cosine BSDF sample -> continuation ray (Pathtracer.cu:745-756) ----
+    sx, sy = _sample_disk(r3, r4)
+    sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - sx * sx - sy * sy))
+    pdf = jnp.maximum(sz, 1e-8) * (1.0 / _PI)
+    valid = jnp.isfinite(pdf) & (pdf > 1e-8)
+    active = active & valid
+    ndx = sx * tx + sy * bx + sz * snx
+    ndy = sx * ty + sy * by + sz * sny
+    ndz = sx * tz + sy * bz + sz * snz
+    ndx, ndy, ndz = _norm3(ndx, ndy, ndz)
+    nx2, ny2, nz2 = _offset(px, py, pz, ndx, ndy, ndz, gnx, gny, gnz)
+
+    nox_o[0] = jnp.where(active, nx2, ox)
+    noy_o[0] = jnp.where(active, ny2, oy)
+    noz_o[0] = jnp.where(active, nz2, oz)
+    ndx_o[0] = jnp.where(active, ndx, dx)
+    ndy_o[0] = jnp.where(active, ndy, dy)
+    ndz_o[0] = jnp.where(active, ndz, dz)
+    ntx_o[0] = tpx
+    nty_o[0] = tpy
+    ntz_o[0] = tpz
+    nalive_o[0] = active.astype(jnp.int32)
+    nnee_o[0] = jnp.full(SHAPE, 1 if enable_nee else 0, jnp.int32)
+    nlpdf_o[0] = pdf
+    radx_o[0] = radx
+    rady_o[0] = rady
+    radz_o[0] = radz
+    sox_o[0] = sox
+    soy_o[0] = soy
+    soz_o[0] = soz
+    sdx_o[0] = sdx
+    sdy_o[0] = sdy
+    sdz_o[0] = sdz
+    stmax_o[0] = stmax
+    ilx_o[0] = ilx
+    ily_o[0] = ily
+    ilz_o[0] = ilz
+
+
+@partial(jax.jit, static_argnames=("enable_nee", "enable_mis", "enable_rr",
+                                   "interpret"))
+def shade_diffuse_pallas(tables, params_vec, hit, ray_o, ray_d, throughput,
+                         alive, prev_allow_nee, last_pdf, rnd,
+                         enable_nee=True, enable_mis=True, enable_rr=True,
+                         interpret=False):
+    """Run the fused shade stage. `tables` is buffers["pallas_shade"];
+    `params_vec` is a traced (16,) f32 (see module docstring); `rnd` is a
+    tuple of six (R,) uniforms drawn by the XLA-side sampler. Returns a dict
+    of next-wavefront state + radiance/illumination adds."""
+    interpret = interpret or FORCE_INTERPRET
+    tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, lgt_tbl = tables
+    R = ray_o.shape[0]
+    pad = (-R) % BLOCK
+    def p1(x, fill=0.0):
+        if pad:
+            return jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)])
+        return x
+    G = (R + pad) // BLOCK
+    grid = (G,)
+
+    block = lambda: pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile = lambda x: x.reshape(G, 8, 128)
+
+    f32 = jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)
+    out_shape = [f32] * 3 + [f32] * 6 + [f32] * 3 + [i32, i32, f32] + \
+        [f32] * 7 + [f32] * 3
+
+    ins = [params_vec.reshape(16, 1), tri_geo, tri_nrm, inst_a, inst_b,
+           mat_tbl, lgt_tbl,
+           tile(p1(hit.t)), tile(p1(hit.tri.astype(jnp.int32), -1)),
+           tile(p1(hit.inst.astype(jnp.int32), -1)),
+           tile(p1(hit.u)), tile(p1(hit.v)),
+           tile(p1(ray_o[:, 0])), tile(p1(ray_o[:, 1])), tile(p1(ray_o[:, 2])),
+           tile(p1(ray_d[:, 0])), tile(p1(ray_d[:, 1])), tile(p1(ray_d[:, 2])),
+           tile(p1(throughput[:, 0])), tile(p1(throughput[:, 1])),
+           tile(p1(throughput[:, 2])),
+           tile(p1(alive.astype(jnp.int32))),
+           tile(p1(prev_allow_nee.astype(jnp.int32))),
+           tile(p1(last_pdf, 1.0))] + [tile(p1(r)) for r in rnd]
+
+    outs = pl.pallas_call(
+        partial(_kernel, enable_nee, enable_mis, enable_rr),
+        grid=grid,
+        in_specs=[smem()] * 7 + [block()] * (len(ins) - 7),
+        out_specs=[block()] * len(out_shape),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+
+    n = R + pad
+    def up(x):
+        return x.reshape(n)[:R]
+    (radx, rady, radz, nox, noy, noz, ndx, ndy, ndz, ntx, nty, ntz,
+     nalive, nnee, nlpdf, sox, soy, soz, sdx, sdy, sdz, stmax,
+     ilx, ily, ilz) = [up(o) for o in outs]
+    return {
+        "radiance_add": jnp.stack([radx, rady, radz], axis=-1),
+        "ray_o": jnp.stack([nox, noy, noz], axis=-1),
+        "ray_d": jnp.stack([ndx, ndy, ndz], axis=-1),
+        "throughput": jnp.stack([ntx, nty, ntz], axis=-1),
+        "alive": nalive != 0,
+        "prev_allow_nee": nnee != 0,
+        "last_pdf": nlpdf,
+        "shadow_o": jnp.stack([sox, soy, soz], axis=-1),
+        "shadow_d": jnp.stack([sdx, sdy, sdz], axis=-1),
+        "shadow_tmax": stmax,
+        "illumination": jnp.stack([ilx, ily, ilz], axis=-1),
+    }

@@ -47,6 +47,10 @@ RESTORE = -1
 MAX_TABLE_BYTES = 600_000
 
 _DIV_EPS = 1e-12
+
+# Test hook: CPU-backend tests flip this before first use to run the kernels
+# through the Pallas interpreter (read at trace time).
+FORCE_INTERPRET = False
 _RAY_EPS = 1e-4
 
 
@@ -290,6 +294,7 @@ def _trace_pallas(node_mat, inst_mat, tri_mat, ray_o, ray_d, t_max,
     """Traversal via the Pallas kernel. Table matrices come from
     `pack_tables` (column-major (16, N)). Rays are padded to a BLOCK
     multiple; each grid step processes one (8, 128) ray tile."""
+    interpret = interpret or FORCE_INTERPRET
     R = ray_o.shape[0]
     pad = (-R) % BLOCK
     if pad:
