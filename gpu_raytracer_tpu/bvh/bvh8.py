@@ -88,34 +88,41 @@ def convert_bvh8(bvh: BVH2, triangles_centroid=None) -> BVH8:
         r = l + 1
         tri_count[i] = tri_count[l] + tri_count[r]
 
-        # distribute: children share j slots (j >= 2)
+        # pure distribute costs: children share j slots (j >= 2)
+        dist_cost = np.full(8, np.inf)
+        dist_k = np.ones(8, np.int8)
         for j in range(2, 8):
-            best = np.inf
-            best_k = 1
             for k in range(1, j):
                 c = cost[l, k] + cost[r, j - k]
-                if c < best:
-                    best = c
-                    best_k = k
-            cost[i, j] = best
-            decision[i, j] = 2
-            dist_left[i, j] = best_k
+                if c < dist_cost[j]:
+                    dist_cost[j] = c
+                    dist_k[j] = k
 
-        # internal: this node becomes a real 8-wide node using 1 slot
-        c_internal = cost[i, 7] + C_NODE * sa[i]
-        if c_internal < cost[i, 1]:
-            cost[i, 1] = c_internal
-            decision[i, 1] = 1
-        else:
-            # j=1 via distribute isn't defined; fall back to leaf if possible
-            pass
-
-        # leaf: whole subtree as one leaf when <= P_MAX triangles
+        # 1 slot: internal 8-wide node (children distributed over 7 slots)
+        # vs whole-subtree leaf when <= P_MAX triangles
+        c_internal = dist_cost[7] + C_NODE * sa[i]
+        cost[i, 1] = c_internal
+        decision[i, 1] = 1
         if tri_count[i] <= P_MAX:
             c_leaf = C_PRIM * sa[i] * tri_count[i]
             if c_leaf < cost[i, 1]:
                 cost[i, 1] = c_leaf
                 decision[i, 1] = 0
+
+        # j >= 2 slots: best of distributing over j slots or reusing the
+        # (j-1)-slot decision (reference seeds cost_distribute with the
+        # previous slot count's decision, BVH8Converter.cpp calculate_cost —
+        # without it every multi-slot offer is forced to distribute even when
+        # one internal node is cheaper).
+        for j in range(2, 8):
+            if dist_cost[j] < cost[i, j - 1]:
+                cost[i, j] = dist_cost[j]
+                decision[i, j] = 2
+                dist_left[i, j] = dist_k[j]
+            else:
+                cost[i, j] = cost[i, j - 1]
+                decision[i, j] = decision[i, j - 1]
+                dist_left[i, j] = dist_left[i, j - 1]
 
     # --- recursive emission ---
     p_out, e_out, imask_out = [], [], []

@@ -688,6 +688,7 @@ class Pathtracer:
                            self.gpu_config, W, self.cpu_config.seed,
                            self.scene.has_lights,
                            has_textures=len(self.scene.textures) > 0,
+                           has_media=len(self.scene.mediums) > 0,
                            with_aovs=True, use_pallas=self.use_pallas)
         self.sample_index += 1
 

@@ -125,6 +125,12 @@ class GeometryCache:
         self.blas_root_of_mesh: list = []
         self.tri_base_of_mesh: list = []
         self.tri_count_of_mesh: list = []
+        # One canonical leaf slot per ORIGINAL mesh triangle (first occurrence
+        # in bvh.indices): SBVH spatial splits duplicate straddling triangles
+        # in leaf order, and a light CDF over raw leaf slots would weight each
+        # duplicate fully, biasing NEE bright (reference builds its CDF from
+        # original mesh triangles, Pathtracer.cpp calc_light_power).
+        self.canon_slots_of_mesh: list = []
         self.tlas_size: int = 0
         # Object-space light geometry per mesh (for the world-area CDF).
         self.obj_e1: Optional[np.ndarray] = None
@@ -160,6 +166,11 @@ def _aggregate_blas(scene: Scene, sah_cost_node, sah_cost_leaf, force_rebuild):
         geo.blas_root_of_mesh.append(node_base)
         geo.tri_base_of_mesh.append(tri_base)
         geo.tri_count_of_mesh.append(bvh.num_prims)
+        order = np.argsort(bvh.indices, kind="stable")
+        sorted_ids = bvh.indices[order]
+        first = np.ones(len(order), bool)
+        first[1:] = sorted_ids[1:] != sorted_ids[:-1]
+        geo.canon_slots_of_mesh.append(order[first].astype(np.int32))
 
         is_leaf = bvh.node_count > 0
         node_mins.append(bvh.node_min)
@@ -228,16 +239,18 @@ def _build_lights(scene: Scene, geo: GeometryCache):
         if not mat.is_light():
             continue
         base = geo.tri_base_of_mesh[inst.mesh_data_id]
-        count = geo.tri_count_of_mesh[inst.mesh_data_id]
-        e1 = geo.obj_e1[base:base + count]
-        e2 = geo.obj_e2[base:base + count]
+        # One canonical leaf slot per original triangle (SBVH duplicates
+        # must contribute exactly one CDF entry — see GeometryCache).
+        slots = base + geo.canon_slots_of_mesh[inst.mesh_data_id]
+        e1 = geo.obj_e1[slots]
+        e2 = geo.obj_e2[slots]
         lin = inst.transform[:, :3]
         e1w = e1 @ lin.T
         e2w = e2 @ lin.T
         area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
         lum = float(mat.emission @ LUMA)
-        light_tris.append(np.arange(base, base + count, dtype=np.int32))
-        light_insts.append(np.full(count, i, np.int32))
+        light_tris.append(slots.astype(np.int32))
+        light_insts.append(np.full(len(slots), i, np.int32))
         weights.append(area * lum)
 
     if not light_tris:

@@ -255,18 +255,20 @@ def _kernel(any_hit, node_ref, inst_ref, tri_ref,
             (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, cur_inst,
              jnp.zeros(SHAPE, jnp.int32)))
 
-        push1 = far_hit | is_inst_leaf
-        push2 = near_hit | is_inst_leaf
+        # Overflowing pushes are DROPPED (subtree lost, never corrupted): a
+        # clamped dual push could overwrite an instance RESTORE marker with
+        # the BLAS root, resuming TLAS traversal with an object-space ray.
+        push1 = (far_hit | is_inst_leaf) & (ptr < STACK_DEPTH)
+        ptr1 = ptr + push1.astype(jnp.int32)
+        push2 = (near_hit | is_inst_leaf) & (ptr1 < STACK_DEPTH)
         node1 = jnp.where(is_inst_leaf, RESTORE, far_node)
         node2 = jnp.where(is_inst_leaf, blas_root, near_node)
-        col1 = jnp.where(push1, jnp.minimum(ptr, STACK_DEPTH - 1), -2)
-        col2 = jnp.where(push2, jnp.minimum(ptr + push1.astype(jnp.int32),
-                                            STACK_DEPTH - 1), -2)
+        col1 = jnp.where(push1, ptr, -2)
+        col2 = jnp.where(push2, ptr1, -2)
         stack_ref[:] = jnp.where(depth_iota == col2[None], node2[None],
                                  jnp.where(depth_iota == col1[None],
                                            node1[None], stack_ref[:]))
-        ptr = jnp.minimum(ptr + push1.astype(jnp.int32) + push2.astype(jnp.int32),
-                          STACK_DEPTH)
+        ptr = ptr1 + push2.astype(jnp.int32)
         if any_hit:  # shadow rays terminate on first accepted hit
             ptr = jnp.where(best_tri >= 0, 0, ptr)
 

@@ -117,14 +117,16 @@ def trace_closest(nodes, tris, ray_o, ray_d, t_max, max_iterations: int = 100_00
         # over the depth axis, NOT scatters: XLA lowers scatter on TPU ~14x
         # slower than this fused select (measured). Overflow degrades to a
         # dropped subtree rather than UB.
-        far_col = jnp.where(far_hit, jnp.minimum(ptr, STACK_DEPTH - 1), -1)
-        near_col = jnp.where(near_hit, jnp.minimum(ptr + far_hit, STACK_DEPTH - 1), -1)
+        far_hit = far_hit & (ptr < STACK_DEPTH)
+        ptr1 = ptr + far_hit.astype(jnp.int32)
+        near_hit = near_hit & (ptr1 < STACK_DEPTH)
+        far_col = jnp.where(far_hit, ptr, -1)
+        near_col = jnp.where(near_hit, ptr1, -1)
         write_far = _DEPTH_IOTA == far_col[:, None]
         write_near = _DEPTH_IOTA == near_col[:, None]
         stack = jnp.where(write_near, near_node[:, None],
                           jnp.where(write_far, far_node[:, None], stack))
-        ptr = jnp.minimum(ptr + far_hit.astype(jnp.int32) + near_hit.astype(jnp.int32),
-                          STACK_DEPTH)
+        ptr = ptr1 + near_hit.astype(jnp.int32)
 
         return stack, ptr, best_t, best_tri, best_u, best_v, it + 1
 
@@ -177,13 +179,14 @@ def trace_any(nodes, tris, ray_o, ray_d, t_max, max_iterations: int = 100_000) -
         push_l = hit_l & is_int & ~occluded
         push_r = hit_r & is_int & ~occluded
 
-        l_col = jnp.where(push_l, jnp.minimum(ptr, STACK_DEPTH - 1), -1)
-        r_col = jnp.where(push_r,
-                          jnp.minimum(ptr + push_l.astype(jnp.int32), STACK_DEPTH - 1), -1)
+        push_l = push_l & (ptr < STACK_DEPTH)
+        ptr1 = ptr + push_l.astype(jnp.int32)
+        push_r = push_r & (ptr1 < STACK_DEPTH)
+        l_col = jnp.where(push_l, ptr, -1)
+        r_col = jnp.where(push_r, ptr1, -1)
         stack = jnp.where(_DEPTH_IOTA == r_col[:, None], (left + 1)[:, None],
                           jnp.where(_DEPTH_IOTA == l_col[:, None], left[:, None], stack))
-        ptr = jnp.minimum(ptr + push_l.astype(jnp.int32) + push_r.astype(jnp.int32),
-                          STACK_DEPTH)
+        ptr = ptr1 + push_r.astype(jnp.int32)
 
         return stack, ptr, occluded, it + 1
 
@@ -403,19 +406,21 @@ def _traverse_tlas(nodes, tris, instances, ray_o, ray_d, t_max, any_hit: bool,
 
         # Unified dual push: interior pushes (far, near); instance pushes
         # (RESTORE, blas_root) so the BLAS root pops first.
-        push1 = far_hit | enter
-        push2 = near_hit | enter
+        # Overflowing pushes are DROPPED (subtree lost, never corrupted): a
+        # clamped dual push could overwrite the RESTORE marker with the BLAS
+        # root, resuming TLAS traversal with an object-space ray.
+        push1 = (far_hit | enter) & (ptr < STACK_DEPTH)
+        ptr1 = ptr + push1.astype(jnp.int32)
+        push2 = (near_hit | enter) & (ptr1 < STACK_DEPTH)
         node1 = jnp.where(enter, RESTORE, far_node)
         node2 = jnp.where(enter, blas_root, near_node)
-        col1 = jnp.where(push1, jnp.minimum(ptr, STACK_DEPTH - 1), -2)
-        col2 = jnp.where(push2, jnp.minimum(ptr + push1.astype(jnp.int32),
-                                            STACK_DEPTH - 1), -2)
+        col1 = jnp.where(push1, ptr, -2)
+        col2 = jnp.where(push2, ptr1, -2)
         depth_iota = _DEPTH_IOTA_T  # (DEPTH, 1)
         stack = jnp.where(depth_iota == col2[None, :], node2[None, :],
                           jnp.where(depth_iota == col1[None, :],
                                     node1[None, :], s["stack"]))
-        ptr = jnp.minimum(ptr + push1.astype(jnp.int32) + push2.astype(jnp.int32),
-                          STACK_DEPTH)
+        ptr = ptr1 + push2.astype(jnp.int32)
 
         return dict(
             stack=stack, ptr=ptr,
