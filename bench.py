@@ -1,13 +1,14 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Metric: Mrays/s (primary + bounce + shadow rays actually traced) on the
-Cornell box at 512x512 with the full diffuse+NEE+MIS pipeline. The reference
-publishes no numbers (BASELINE.md); the north star is Sponza 1080p 1spp+SVGF
-at >= 30 FPS on one chip, which at ~4 traced rays/pixel works out to ~240
-Mrays/s — `vs_baseline` is the fraction of that target.
+Primary metric (BASELINE.json): Mrays/s on Sponza at 1080p with the full
+pipeline (NEE+MIS, textures, ray cones), averaged over the first three
+reference PerfTest POVs (Src/Util/PerfTest.h:30-60). Counts every ray
+actually traced (primary + bounce + shadow). The north star is Sponza 1080p
+1spp+SVGF at >= 30 FPS on one chip ~= 240 Mrays/s; `vs_baseline` is the
+fraction of that target.
 
-The benchmark scene will graduate to the Sponza PerfTest POVs
-(reference: Src/Util/PerfTest.h:30-60) once textures + BVH cache land.
+Extra fields record the Cornell proxy (round-1 continuity) and the
+SVGF+TAA denoised-frame time at 1080p.
 """
 
 import json
@@ -17,7 +18,7 @@ import time
 NORTH_STAR_MRAYS = 240.0
 
 
-def main() -> int:
+def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,52 +26,106 @@ def main() -> int:
     from gpu_raytracer_tpu.config import CPUConfig, GPUConfig
     from gpu_raytracer_tpu.integrators.pathtracer import render_wave
     from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
     from gpu_raytracer_tpu.scene import Scene
 
-    W = H = 512
-    scene_file = "/root/reference/Data/cornellbox/scene.xml"
     scene = Scene.from_config(CPUConfig(scene_filenames=[scene_file]))
     scene.film_width, scene.film_height = W, H
     scene.camera.resize(W, H)
 
-    config = GPUConfig(num_bounces=6)
+    config = GPUConfig(num_bounces=num_bounces)
     buffers = build_scene_buffers(scene)
-    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
-    from gpu_raytracer_tpu.ops.camera_rays import tile_order
-
-    # 32x32 screen tiles: keeps each traversal block's rays spatially
-    # coherent so the kernel's adaptive scan windows stay small.
     pixel_index = jnp.asarray(tile_order(W, H))
 
-    use_pallas = (buffers.get("pallas") is not None
-                  and jax.default_backend() == "tpu")
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = buffers.get("pallas") is not None and on_tpu
     use_shade = use_pallas and buffers.get("pallas_shade") is not None
+    use_wide = (buffers.get("wide") is not None and on_tpu
+                and not use_pallas)
 
-    def sample(s):
+    def sample(camera, s):
         return render_wave(buffers, camera, pixel_index, s, config, W, 0,
-                           scene.has_lights, True, use_pallas=use_pallas,
-                           use_pallas_shade=use_shade)
+                           scene.has_lights, True,
+                           has_textures=len(scene.textures) > 0,
+                           use_pallas=use_pallas, use_pallas_shade=use_shade,
+                           use_wide=use_wide)
 
-    # Warmup / compile.
-    radiance, rays = sample(0)
-    jax.block_until_ready(radiance)
+    results = []
+    if not povs:
+        povs = [(tuple(scene.camera.position), tuple(scene.camera.rotation))]
+    for pos, rot in povs:
+        import numpy as np
+        scene.camera.position = np.asarray(pos, np.float32)
+        scene.camera.rotation = np.asarray(rot, np.float32)
+        scene.camera.update(0.0)
+        camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+        radiance, rays = sample(camera, 0)  # warmup/compile
+        jax.block_until_ready(radiance)
+        t0 = time.time()
+        for s in range(1, samples + 1):
+            radiance, rays = sample(camera, s)
+        jax.block_until_ready(radiance)
+        elapsed = time.time() - t0
+        results.append((float(rays) * samples / elapsed / 1e6,
+                        elapsed / samples * 1000.0))
+    mrays = sum(r[0] for r in results) / len(results)
+    ms = sum(r[1] for r in results) / len(results)
+    return mrays, ms, {"wide": use_wide, "pallas": use_pallas,
+                       "shade": use_shade}
 
-    num_samples = 8
-    total_rays = 0.0
+
+def bench_denoised(scene_file, W, H, frames=3):
+    """SVGF+TAA interactive path: ms per denoised 1spp frame."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from gpu_raytracer_tpu.config import CPUConfig, GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import Pathtracer
+    from gpu_raytracer_tpu.scene import Scene
+    from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
+
+    scene = Scene.from_config(CPUConfig(scene_filenames=[scene_file]))
+    scene.film_width, scene.film_height = W, H
+    scene.camera.resize(W, H)
+    pos, rot = POVS_SPONZA[0]
+    scene.camera.position = np.asarray(pos, np.float32)
+    scene.camera.rotation = np.asarray(rot, np.float32)
+    scene.camera.update(0.0)
+    gpu = GPUConfig(num_bounces=3, enable_svgf=True, enable_taa=True)
+    pt = Pathtracer(scene, gpu_config=gpu)
+    pt.init_device()
+    out = pt.render_frame_denoised()  # warmup/compile
     t0 = time.time()
-    for s in range(1, num_samples + 1):
-        radiance, rays = sample(s)
-    jax.block_until_ready(radiance)
-    elapsed = time.time() - t0
-    # Ray count is sample-independent in expectation; use the last measured.
-    total_rays = float(rays) * num_samples
+    for _ in range(frames):
+        out = pt.render_frame_denoised()
+    jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
+    return (time.time() - t0) / frames * 1000.0
 
-    mrays = total_rays / elapsed / 1e6
+
+def main() -> int:
+    from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
+
+    sponza = "/root/reference/Data/Sponza/scene.xml"
+    cornell = "/root/reference/Data/cornellbox/scene.xml"
+
+    mrays, ms, paths = bench_scene(sponza, 1920, 1080, 3, POVS_SPONZA[:3])
+    cor_mrays, cor_ms, _ = bench_scene(cornell, 512, 512, 6, None, samples=4)
+    try:
+        den_ms = bench_denoised(sponza, 1920, 1080)
+    except Exception:
+        den_ms = None
+
     print(json.dumps({
-        "metric": "Mrays/s cornell512 diffuse+NEE+MIS b6",
+        "metric": "Mrays/s sponza1080p b3 NEE+MIS+tex (3 POV avg)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "sponza_ms_per_sample": round(ms, 1),
+        "svgf_taa_1080p_ms_frame": round(den_ms, 1) if den_ms else None,
+        "cornell512_mrays": round(cor_mrays, 3),
+        "paths": paths,
     }))
     return 0
 

@@ -1,0 +1,232 @@
+"""Wide (8-ary) BVH flattening for the block-synchronous Pallas traversal
+kernel (ops/pallas_wide.py).
+
+The reference's hottest kernel is the CWBVH (BVH8) traversal
+(/root/reference/Src/CUDA/Raytracing/BVH8.h:113-274) over Ylitie-style
+compressed 80-byte nodes (/root/reference/Src/BVH/Converters/
+BVH8Converter.cpp:210-335). On TPU the design constraints are different:
+
+- Mosaic has no per-lane gather, so the kernel traverses BLOCK-synchronously:
+  one shared node per iteration, fetched as a single dynamically-indexed ROW
+  of a VMEM-resident table and broadcast to all 1024 lanes. Row loads need
+  the minor dimension to be the native 128-lane axis, so a node row is 128
+  f32 — byte quantization would buy nothing (the row is the granularity),
+  and plain f32 child bounds skip the decode ALU cost entirely.
+- v5e VMEM is ~128 MB with vmem_limit_bytes raised, so Sponza-scale tables
+  (~30-60 MB) are fully VMEM-resident; scenes beyond the budget fall back to
+  the XLA while_loop path.
+
+Node row layout ((N, 128) f32), child slot c in 0..7:
+  [c*6 .. c*6+6)   child AABB (lo.x, lo.y, lo.z, hi.x, hi.y, hi.z)
+  [48 + c]         child ref: >= 0 wide-node id | -1 empty | <= -2 leaf row
+                   id encoded as -(row + 2)
+Leaf row layout ((L, 128) f32):
+  slot 0: count > 0 -> triangle leaf with `count` tris (<= LEAF_CAP)
+     [1 + j]             leaf-order global triangle id (for shading lookups)
+     [16 + j*9 .. +9)    p0 | e1 | e2 in object space
+  slot 0: -1 -> TLAS instance leaf
+     [1]                  instance id
+     [2 .. 14)            3x4 inverse transform (row-major 12)
+     [14]                 BLAS wide-root node id
+
+The greedy 2->8 collapse mirrors the reference's BVH4Converter strategy
+(seed with both children, repeatedly expand the internal child with the
+largest surface area) rather than the full Ylitie DP — the DP's objective
+targets the byte-compressed format's leaf encoding, which does not exist
+here. BVH2 leaves (<= LEAF_SIZE tris from the standard build pipeline,
+including collapse) map 1:1 to leaf rows, so the wide structure reuses the
+disk-cached BVH2s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpu_raytracer_tpu.bvh.types import BVH2
+from gpu_raytracer_tpu.core.aabb import half_area
+
+WIDTH = 8
+LEAF_CAP = 12          # tri ids at [1..13), geo at [16 + j*9): 16+12*9 = 124
+ROW = 128
+
+# child-ref encoding
+EMPTY = -1.0
+
+
+class WideBVH:
+    """Flat wide-BVH arrays in LOCAL index space (node 0 = root)."""
+
+    def __init__(self, nodes: np.ndarray, child_ref: np.ndarray,
+                 leaf_first: np.ndarray, leaf_count: np.ndarray):
+        # nodes: (N, 48) child bounds; child_ref: (N, 8) int32
+        #   (>=0 node, -1 empty, <= -2 -> local leaf id -(v+2))
+        # leaf_first/leaf_count: (L,) slices into the SOURCE bvh2 leaf order
+        self.bounds = nodes
+        self.child_ref = child_ref
+        self.leaf_first = leaf_first
+        self.leaf_count = leaf_count
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.bounds.shape[0])
+
+    @property
+    def num_leaves(self) -> int:
+        return int(self.leaf_first.shape[0])
+
+
+def collapse_wide(bvh: BVH2, width: int = WIDTH) -> WideBVH:
+    """Greedy `width`-wide collapse of a flat BVH2 (any leaf size).
+
+    Children of a wide node are chosen by repeatedly expanding the internal
+    candidate with the largest surface area until `width` slots are filled
+    (reference BVH4Converter.cpp:3-148 uses the same greedy rule for 4-wide).
+    `--bvh qbvh` packs width 4 into the same 8-slot device rows (the honest
+    4-wide layout; empty slots never push)."""
+    node_min, node_max = bvh.node_min, bvh.node_max
+    node_left, node_count = bvh.node_left, bvh.node_count
+    sa = half_area(node_min, node_max)
+
+    bounds_out: list = []
+    refs_out: list = []
+    leaf_first: list = []
+    leaf_count: list = []
+
+    def leaf_id(b2: int) -> int:
+        leaf_first.append(int(node_left[b2]))
+        leaf_count.append(int(node_count[b2]))
+        return len(leaf_first) - 1
+
+    # Root special case: BVH2 with a leaf root.
+    if node_count[0] > 0:
+        bounds = np.zeros(48, np.float32)
+        refs = np.full(8, EMPTY, np.float32)
+        bounds[0:3] = node_min[0]
+        bounds[3:6] = node_max[0]
+        refs[0] = float(-(leaf_id(0) + 2))
+        return WideBVH(np.asarray([bounds]), np.asarray([refs], np.float32),
+                       np.asarray(leaf_first, np.int32),
+                       np.asarray(leaf_count, np.int32))
+
+    # Iterative emission, parent rows patched after children are allocated.
+    bounds_np: list = []
+    refs_np: list = []
+
+    def alloc() -> int:
+        bounds_np.append(np.zeros(48, np.float32))
+        refs_np.append(np.full(8, EMPTY, np.float32))
+        return len(bounds_np) - 1
+
+    root_out = alloc()
+    work = [(0, root_out)]
+    while work:
+        b2, out_id = work.pop()
+        # Greedy cut: expand largest-SA internal member until `width` wide.
+        members = [int(node_left[b2]), int(node_left[b2]) + 1]
+        while len(members) < width:
+            best, best_sa = -1, -1.0
+            for m in members:
+                if node_count[m] == 0 and sa[m] > best_sa:
+                    best, best_sa = m, float(sa[m])
+            if best < 0:
+                break
+            members.remove(best)
+            members.append(int(node_left[best]))
+            members.append(int(node_left[best]) + 1)
+
+        row_b = bounds_np[out_id]
+        row_r = refs_np[out_id]
+        for c, m in enumerate(members):
+            row_b[c * 6 + 0: c * 6 + 3] = node_min[m]
+            row_b[c * 6 + 3: c * 6 + 6] = node_max[m]
+            if node_count[m] > 0:
+                row_r[c] = float(-(leaf_id(m) + 2))
+            else:
+                child_out = alloc()
+                row_r[c] = float(child_out)
+                work.append((m, child_out))
+
+    return WideBVH(np.asarray(bounds_np, np.float32),
+                   np.asarray(refs_np, np.float32),
+                   np.asarray(leaf_first, np.int32),
+                   np.asarray(leaf_count, np.int32))
+
+
+def estimate_table_bytes(num_bvh2_nodes: int, num_tris: int,
+                         num_instances: int) -> int:
+    """Upper-bound VMEM footprint of the packed wide tables, for gating
+    before any build work happens. Wide nodes <= BVH2 interior nodes / 3
+    (8-wide cut of a binary tree), leaf rows <= BVH2 leaves + instances."""
+    wide_nodes = max(num_bvh2_nodes // 3, 1) + num_instances
+    leaf_rows = num_tris + num_instances + 1
+    return (wide_nodes + leaf_rows) * ROW * 4
+
+
+def pack_wide_scene(blas_wides: list, tri_bases: list,
+                    tlas_bvh2: BVH2, instances: dict,
+                    tri_geo: np.ndarray) -> dict:
+    """Aggregate TLAS + all BLAS wide BVHs into the unified device tables.
+
+    blas_wides: one WideBVH per unique MeshData (object space)
+    tri_bases:  global leaf-order triangle base per mesh
+    tlas_bvh2:  1-instance-leaf BVH2 over instance world AABBs; its
+                "triangle" indices are instance ids
+    instances:  {"inv": (I, 12) inverse transforms,
+                 "mesh_of_inst": (I,) mesh-data id}
+    tri_geo:    (T, 9) leaf-order [p0|e1|e2] object-space geometry
+    """
+    inv = np.asarray(instances["inv"], np.float32).reshape(-1, 12)
+    mesh_of_inst = np.asarray(instances["mesh_of_inst"], np.int32)
+
+    wides = blas_wides
+    wtlas = collapse_wide(tlas_bvh2)
+
+    # --- global layout: nodes [TLAS][BLAS0][BLAS1]...; leaf rows
+    # [TLAS instance rows][BLAS0 tri rows]... ---
+    node_base = [wtlas.num_nodes]
+    row_base = [wtlas.num_leaves]
+    for w in wides[:-1] if wides else []:
+        node_base.append(node_base[-1] + w.num_nodes)
+        row_base.append(row_base[-1] + w.num_leaves)
+
+    total_nodes = node_base[-1] + (wides[-1].num_nodes if wides else 0)
+    total_rows = row_base[-1] + (wides[-1].num_leaves if wides else 0)
+
+    nodes = np.zeros((total_nodes, ROW), np.float32)
+    rows = np.zeros((total_rows, ROW), np.float32)
+
+    def emit_nodes(w: WideBVH, nbase: int, rbase: int):
+        n = w.num_nodes
+        nodes[nbase:nbase + n, 0:48] = w.bounds
+        ref = w.child_ref.copy()
+        internal = ref >= 0
+        leaf = ref <= -2
+        ref[internal] += nbase
+        ref[leaf] = -((-ref[leaf] - 2) + rbase) - 2
+        nodes[nbase:nbase + n, 48:56] = ref
+
+    # TLAS nodes + instance rows (TLAS build uses 1-instance leaves).
+    emit_nodes(wtlas, 0, 0)
+    assert np.all(wtlas.leaf_count == 1), "TLAS wide path needs 1-inst leaves"
+    inst_ids = tlas_bvh2.indices[wtlas.leaf_first]
+    tr = np.arange(wtlas.num_leaves)
+    rows[tr, 0] = -1.0
+    rows[tr, 1] = inst_ids.astype(np.float32)
+    rows[tr, 2:14] = inv[inst_ids]
+    rows[tr, 14] = np.asarray(node_base, np.float32)[mesh_of_inst[inst_ids]] \
+        if wides else 0.0
+
+    # BLAS nodes + triangle rows (vectorized over leaves per mesh).
+    for mi, w in enumerate(wides):
+        emit_nodes(w, node_base[mi], row_base[mi])
+        firsts = tri_bases[mi] + w.leaf_first
+        counts = w.leaf_count
+        assert counts.max(initial=0) <= LEAF_CAP
+        out = row_base[mi] + np.arange(w.num_leaves)
+        rows[out, 0] = counts.astype(np.float32)
+        for j in range(int(counts.max(initial=0))):
+            m = counts > j
+            rows[out[m], 1 + j] = (firsts[m] + j).astype(np.float32)
+            rows[out[m], 16 + j * 9: 16 + j * 9 + 9] = tri_geo[firsts[m] + j]
+
+    return {"nodes": nodes, "rows": rows}

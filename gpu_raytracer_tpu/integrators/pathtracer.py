@@ -46,6 +46,7 @@ from gpu_raytracer_tpu.ops.sampling import (
 from gpu_raytracer_tpu.ops.sky_ops import sample_sky
 from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas
 from gpu_raytracer_tpu.ops.pallas_traverse import trace_any_pallas, trace_closest_pallas
+from gpu_raytracer_tpu.ops.pallas_wide import trace_any_wide, trace_closest_wide
 from gpu_raytracer_tpu.scene.scene import Scene
 from gpu_raytracer_tpu.scene.types import MaterialType
 
@@ -120,13 +121,13 @@ def _interpolate_hit(tris, instances, hit):
                    static_argnames=("config", "width", "seed", "has_lights",
                                     "with_stats", "has_textures", "with_aovs",
                                     "has_media", "use_pallas",
-                                    "use_pallas_shade"))
+                                    "use_pallas_shade", "use_wide"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
                 has_media: bool = False, use_pallas: bool = False,
-                use_pallas_shade: bool = False):
+                use_pallas_shade: bool = False, use_wide: bool = False):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -228,7 +229,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         not_last = bounce < config.num_bounces - 1
 
         rays_traced = rays_traced + jnp.sum(alive)
-        if use_pallas:
+        if use_wide:
+            hit = trace_closest_wide(*buffers["wide"], ray_o, ray_d,
+                                     jnp.where(alive, INF, jnp.float32(0.0)))
+        elif use_pallas:
             hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                        jnp.where(alive, INF, jnp.float32(0.0)))
         else:
@@ -470,7 +474,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             rays_traced = rays_traced + jnp.sum(want_shadow)
             shadow_tmax = jnp.where(want_shadow, dist - 2 * EPSILON,
                                     jnp.float32(0.0))
-            if use_pallas:
+            if use_wide:
+                occluded = trace_any_wide(*buffers["wide"], shadow_o,
+                                          to_light, shadow_tmax)
+            elif use_pallas:
                 occluded = trace_any_pallas(*buffers["pallas"], shadow_o,
                                             to_light, shadow_tmax)
             else:
@@ -600,6 +607,17 @@ class Pathtracer:
         return (self.use_pallas
                 and self.buffers.get("pallas_shade") is not None)
 
+    @property
+    def use_wide(self) -> bool:
+        """The block-synchronous wide-BVH kernel covers scene-scale tables
+        (up to the VMEM budget, ~100 MB — Sponza class) on real TPU
+        hardware. The small-scene SMEM kernel keeps priority when its fused
+        shade path applies; the XLA while_loop path covers everything else
+        (giant scenes, CPU backend)."""
+        return (self.buffers is not None
+                and self.buffers.get("wide") is not None
+                and jax.default_backend() == "tpu")
+
     def update(self, delta: float = 0.0) -> None:
         """Selective re-upload per invalidation flags (reference
         Integrator::update, Integrator.cpp:432-528)."""
@@ -654,7 +672,8 @@ class Pathtracer:
                                  has_textures=len(self.scene.textures) > 0,
                                  has_media=len(self.scene.mediums) > 0,
                                  use_pallas=self.use_pallas,
-                                 use_pallas_shade=self.use_pallas_shade)
+                                 use_pallas_shade=self.use_pallas_shade,
+                                 use_wide=self.use_wide and not self.use_pallas)
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
 
@@ -689,7 +708,8 @@ class Pathtracer:
                            self.scene.has_lights,
                            has_textures=len(self.scene.textures) > 0,
                            has_media=len(self.scene.mediums) > 0,
-                           with_aovs=True, use_pallas=self.use_pallas)
+                           with_aovs=True, use_pallas=self.use_pallas,
+                           use_wide=self.use_wide and not self.use_pallas)
         self.sample_index += 1
 
         def img(x):
@@ -741,7 +761,8 @@ class Pathtracer:
                                self.scene.has_lights,
                                has_textures=len(self.scene.textures) > 0,
                                has_media=len(self.scene.mediums) > 0,
-                               with_aovs=True, use_pallas=self.use_pallas)
+                               with_aovs=True, use_pallas=self.use_pallas,
+                           use_wide=self.use_wide and not self.use_pallas)
             for k in acc:
                 acc[k] = acc[k] + np.asarray(aovs[k])
         base = os.path.splitext(output_filename)[0]

@@ -135,6 +135,8 @@ class GeometryCache:
         # Object-space light geometry per mesh (for the world-area CDF).
         self.obj_e1: Optional[np.ndarray] = None
         self.obj_e2: Optional[np.ndarray] = None
+        # Leaf-order (T, 9) [p0|e1|e2] geometry for wide-table repacks.
+        self.tri_geo: Optional[np.ndarray] = None
 
 
 def _aggregate_blas(scene: Scene, sah_cost_node, sah_cost_leaf, force_rebuild):
@@ -370,7 +372,67 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     }
     buffers["pallas"] = _pack_pallas(buffers)
     buffers["pallas_shade"] = _pack_pallas_shade(buffers, scene)
+    geo.tri_geo = packed_tris.astype(np.float32)
+    buffers["wide"] = _pack_wide(scene, geo, geo.tri_geo)
     return buffers
+
+
+def _pack_wide(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray):
+    """Scene-scale traversal tables for the block-synchronous wide-BVH
+    Pallas kernel (ops/pallas_wide.py), or None when the scene exceeds the
+    VMEM budget or has no geometry. See bvh/wide.py for the layout."""
+    from gpu_raytracer_tpu.bvh import wide as wide_mod
+    from gpu_raytracer_tpu.bvh.sah import SAHBuilder
+    from gpu_raytracer_tpu.ops import pallas_wide
+
+    if not scene.instances or tri_geo.shape[0] == 0:
+        return None
+    # --bvh selects the DEVICE traversal format (reference: BVH.cpp:38-59):
+    # qbvh/cwbvh run the wide kernel at width 4/8; sah/sbvh keep the binary
+    # device paths (SMEM Pallas kernel or XLA while_loop).
+    from gpu_raytracer_tpu.config import BVHType
+
+    cfg = scene.config
+    bvh_type = cfg.bvh_type if cfg is not None else BVHType.BVH8
+    if bvh_type == BVHType.BVH4:
+        width = 4
+    elif bvh_type == BVHType.BVH8:
+        width = 8
+    else:
+        return None
+    num_bvh2_nodes = sum(md.bvh.num_nodes for md in scene.mesh_datas)
+    est = wide_mod.estimate_table_bytes(num_bvh2_nodes, tri_geo.shape[0],
+                                        len(scene.instances))
+    if est > 2 * pallas_wide.VMEM_LIMIT:
+        # Early reject before any collapse work (estimate is an upper
+        # bound; borderline scenes re-check below).
+        print(f"[bvh] scene exceeds the wide-kernel VMEM budget "
+              f"(~{est // 2 ** 20} MB est.); falling back to the XLA "
+              f"binary traversal")
+        return None
+
+    wides = []
+    for md in scene.mesh_datas:
+        cached = getattr(md, "_wide", None)
+        if cached is None or cached[0] != width:
+            md._wide = (width, wide_mod.collapse_wide(md.bvh, width))
+        wides.append(md._wide[1])
+
+    wmin, wmax = instance_world_aabbs(scene)
+    tlas_bvh2 = SAHBuilder(4.0, 1.0, max_leaf_size=1).build(wmin, wmax)
+
+    inv = np.stack([inst.transform_inv.reshape(12) for inst in scene.instances])
+    mesh_of_inst = np.asarray([inst.mesh_data_id for inst in scene.instances],
+                              np.int32)
+    packed = wide_mod.pack_wide_scene(
+        wides, geo.tri_base_of_mesh, tlas_bvh2,
+        {"inv": inv, "mesh_of_inst": mesh_of_inst}, tri_geo)
+    n, l = packed["nodes"].shape[0], packed["rows"].shape[0]
+    if not pallas_wide.supports(n, l):
+        print(f"[bvh] wide tables ({(n + l) * 512 // 2 ** 20} MB) exceed the "
+              f"VMEM budget; falling back to the XLA binary traversal")
+        return None
+    return (jnp.asarray(packed["nodes"]), jnp.asarray(packed["rows"]))
 
 
 def _pack_pallas_shade(buffers: dict, scene: Scene):
@@ -459,4 +521,8 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
         out["pallas"] = _pack_pallas(out)
     if buffers.get("pallas_shade") is not None:
         out["pallas_shade"] = _pack_pallas_shade(out, scene)
+    if buffers.get("wide") is not None:
+        # Per-mesh wide BLAS collapses are cached on the MeshData; only the
+        # TLAS head + instance rows are re-derived here.
+        out["wide"] = _pack_wide(scene, geo, geo.tri_geo)
     return out
