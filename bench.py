@@ -50,6 +50,7 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
                            use_pallas=use_pallas, use_pallas_shade=use_shade,
                            use_wide=use_wide)
 
+    import sys as _sys
     results = []
     if not povs:
         povs = [(tuple(scene.camera.position), tuple(scene.camera.rotation))]
@@ -59,8 +60,11 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
         scene.camera.rotation = np.asarray(rot, np.float32)
         scene.camera.update(0.0)
         camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+        t_c = time.time()
         radiance, rays = sample(camera, 0)  # warmup/compile
         jax.block_until_ready(radiance)
+        print(f"[bench] {scene_file.split('/')[-2]} warmup {time.time()-t_c:.0f}s",
+              file=_sys.stderr, flush=True)
         t0 = time.time()
         for s in range(1, samples + 1):
             radiance, rays = sample(camera, s)

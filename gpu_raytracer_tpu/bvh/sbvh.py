@@ -8,11 +8,14 @@ references are either duplicated into both children or "unsplit" to one side
 when that is SAH-cheaper (Stich's 3-way comparison, reference
 SBVHBuilder.cpp:200-242).
 
-Deviation from the reference: bin membership and split boxes use AABB
-chopping (the reference's BVHPartitions clips the actual triangle polygon
-against the bin planes). Chopped boxes still strictly enclose the geometry,
-so traversal remains exact; the SAH estimates are just slightly more
-conservative. Bin count 64 vs the reference's 256 for host-build speed.
+Bin bounds and straddler split boxes use REAL triangle-plane clipping
+(reference BVHPartitions.cpp:74-283): the clipped polygon's AABB is taken
+directly as the hull of {vertices inside the slab} + {edge/plane
+intersection points} — exact for a convex polygon against an axis slab and
+fully vectorizable, no polygon construction needed. Each clip re-clips the
+ORIGINAL triangle and intersects with the reference's carried box (which
+encodes earlier clips on other axes), matching the reference's scheme.
+Bin count 64 vs the reference's 256 for host-build speed.
 
 Output is a standard BVH2 whose `indices` may contain DUPLICATE primitive
 ids (spatial splits reference the same triangle from both sides) — exactly
@@ -31,6 +34,44 @@ from gpu_raytracer_tpu.core.aabb import cumulative_union, half_area
 NUM_BINS = 64
 
 
+def clipped_tri_aabb(verts: np.ndarray, axis: int, lo: float, hi: float):
+    """AABB of each triangle clipped to the axis slab [lo, hi].
+
+    verts: (M, 3, 3). Returns (mins (M, 3), maxs (M, 3)); empty clips yield
+    inverted boxes (min > max). Exact: the clipped convex polygon's extreme
+    points are the in-slab vertices plus edge-plane intersections
+    (reference: BVHPartitions.cpp triangle clipping, 74-283)."""
+    M = verts.shape[0]
+    mins = np.full((M, 3), np.inf, np.float32)
+    maxs = np.full((M, 3), -np.inf, np.float32)
+
+    x = verts[:, :, axis]
+    inside = (x >= lo) & (x <= hi)  # (M, 3)
+    for k in range(3):
+        keep = inside[:, k]
+        v = verts[:, k]
+        sel = np.where(keep[:, None], v, np.inf)
+        mins = np.minimum(mins, sel)
+        sel = np.where(keep[:, None], v, -np.inf)
+        maxs = np.maximum(maxs, sel)
+
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        va, vb = verts[:, a], verts[:, b]
+        xa, xb = x[:, a], x[:, b]
+        dx = xb - xa
+        safe = np.where(np.abs(dx) < 1e-30, 1e-30, dx)
+        for plane in (lo, hi):
+            t = (plane - xa) / safe
+            crosses = ((xa - plane) * (xb - plane) < 0.0) & (np.abs(dx) >= 1e-30)
+            p = va + t[:, None] * (vb - va)
+            p[:, axis] = plane  # kill the interpolation residue on the axis
+            sel = np.where(crosses[:, None], p, np.inf)
+            mins = np.minimum(mins, sel)
+            sel = np.where(crosses[:, None], p, -np.inf)
+            maxs = np.maximum(maxs, sel)
+    return mins, maxs
+
+
 @dataclass
 class SBVHBuilder:
     sah_cost_node: float = 4.0
@@ -40,6 +81,7 @@ class SBVHBuilder:
 
     def build(self, triangles) -> BVH2:
         prim_min, prim_max = triangles.aabbs()
+        self._positions = np.asarray(triangles.positions, np.float32)
         T = prim_min.shape[0]
         self._root_area = float(half_area(prim_min.min(0)[None], prim_max.max(0)[None])[0])
 
@@ -176,12 +218,17 @@ class SBVHBuilder:
                     continue
                 plane_lo = lo + b / scale
                 plane_hi = lo + (b + 1) / scale
-                cmn = ref_min[spans].copy()
-                cmx = ref_max[spans].copy()
-                cmn[:, axis] = np.maximum(cmn[:, axis], plane_lo)
-                cmx[:, axis] = np.minimum(cmx[:, axis], plane_hi)
-                bin_min[b] = np.minimum(bin_min[b], cmn.min(axis=0))
-                bin_max[b] = np.maximum(bin_max[b], cmx.max(axis=0))
+                # Triangle-plane clip (not AABB chop): exact per-bin hulls,
+                # intersected with the carried ref box (earlier clips).
+                cmn, cmx = clipped_tri_aabb(
+                    self._positions[ref_prim[spans]], axis, plane_lo, plane_hi)
+                cmn = np.maximum(cmn, ref_min[spans])
+                cmx = np.minimum(cmx, ref_max[spans])
+                ok = np.all(cmn <= cmx, axis=1)
+                if not ok.any():
+                    continue
+                bin_min[b] = np.minimum(bin_min[b], cmn[ok].min(axis=0))
+                bin_max[b] = np.maximum(bin_max[b], cmx[ok].max(axis=0))
 
             lmin, lmax = cumulative_union(bin_min, bin_max)
             rmin, rmax = cumulative_union(bin_min, bin_max, reverse=True)
@@ -230,12 +277,22 @@ class SBVHBuilder:
             c_right = sa_l * (n_l - 1) \
                 + float(half_area(grow_r[0][None], grow_r[1][None])[0]) * n_r
             if c_split <= c_left and c_split <= c_right:
-                cl_max = rmx.copy()
-                cl_max[axis] = min(cl_max[axis], plane)
-                cr_min = rmn.copy()
-                cr_min[axis] = max(cr_min[axis], plane)
-                lp.append(ref_prim[i:i + 1]); lmins.append(rmn[None]); lmaxs.append(cl_max[None])
-                rp.append(ref_prim[i:i + 1]); rmins.append(cr_min[None]); rmaxs.append(rmx[None])
+                tri = self._positions[ref_prim[i]][None]
+                clmn, clmx = clipped_tri_aabb(tri, axis, -np.inf, plane)
+                crmn, crmx = clipped_tri_aabb(tri, axis, plane, np.inf)
+                clmn = np.maximum(clmn[0], rmn); clmx = np.minimum(clmx[0], rmx)
+                crmn = np.maximum(crmn[0], rmn); crmx = np.minimum(crmx[0], rmx)
+                # The clip can come up empty on one side (the ref box
+                # straddles the plane, the triangle does not): unsplit there.
+                if np.any(clmn > clmx):
+                    rp.append(ref_prim[i:i + 1]); rmins.append(crmn[None]); rmaxs.append(crmx[None])
+                    n_l -= 1
+                elif np.any(crmn > crmx):
+                    lp.append(ref_prim[i:i + 1]); lmins.append(clmn[None]); lmaxs.append(clmx[None])
+                    n_r -= 1
+                else:
+                    lp.append(ref_prim[i:i + 1]); lmins.append(clmn[None]); lmaxs.append(clmx[None])
+                    rp.append(ref_prim[i:i + 1]); rmins.append(crmn[None]); rmaxs.append(crmx[None])
             elif c_left <= c_right:
                 lp.append(ref_prim[i:i + 1]); lmins.append(rmn[None]); lmaxs.append(rmx[None])
                 l_min, l_max = grow_l

@@ -46,7 +46,8 @@ from gpu_raytracer_tpu.bvh.types import BVH2
 from gpu_raytracer_tpu.core.aabb import half_area
 
 WIDTH = 8
-LEAF_CAP = 12          # tri ids at [1..13), geo at [16 + j*9): 16+12*9 = 124
+LEAF_CAP = 4           # = ops/traverse LEAF_SIZE (the BVH2 build's leaf cap);
+#                        row capacity allows up to 12 (16 + 12*9 = 124 <= 128)
 ROW = 128
 
 # child-ref encoding

@@ -31,15 +31,16 @@ from gpu_raytracer_tpu.ops.sampling import (
     sample_cosine_hemisphere,
 )
 from gpu_raytracer_tpu.ops.pallas_traverse import trace_any_pallas, trace_closest_pallas
+from gpu_raytracer_tpu.ops.pallas_wide import trace_any_wide, trace_closest_wide
 from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas
 from gpu_raytracer_tpu.scene.scene import Scene
 
 
 @functools.partial(jax.jit, static_argnames=("config", "width", "seed",
-                                              "use_pallas"))
+                                              "use_pallas", "use_wide"))
 def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                    sample_index, config: GPUConfig, width: int, seed: int = 0,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, use_wide: bool = False):
     """One AO sample for a wave of pixels -> (R, 3) grayscale visibility."""
     R = pixel_index.shape[0]
     nodes, tris = buffers["nodes"], buffers["tris"]
@@ -47,7 +48,10 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
     ray_o, ray_d = generate_primary_rays(
         camera, pixel_index, width, sample_index, config.reconstruction_filter, seed)
-    if use_pallas:
+    if use_wide:
+        hit = trace_closest_wide(*buffers["wide"], ray_o, ray_d,
+                                 jnp.full(R, INF))
+    elif use_pallas:
         hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                    jnp.full(R, INF))
     else:
@@ -71,7 +75,14 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     ao_o = _offset_origin(point, ao_dir, geom_n)
 
     ao_tmax = jnp.where(hit_surface, jnp.float32(config.ao_radius), 0.0)
-    if use_pallas:
+    if use_wide:
+        from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
+
+        occluded = trace_sorted(
+            lambda o, d, t: trace_any_wide(*buffers["wide"], o, d, t),
+            ao_o, ao_dir, ao_tmax,
+            buffers["nodes"]["root_min"], buffers["nodes"]["root_max"])
+    elif use_pallas:
         occluded = trace_any_pallas(*buffers["pallas"], ao_o, ao_dir, ao_tmax)
     else:
         occluded = trace_any_tlas(nodes, tris, instances, ao_o, ao_dir, ao_tmax)
@@ -119,9 +130,11 @@ class AO:
         idx = jnp.arange(num_pixels, dtype=jnp.int32)
         use_pallas = (self.buffers.get("pallas") is not None
                       and jax.default_backend() == "tpu")
+        use_wide = (not use_pallas and self.buffers.get("wide") is not None
+                    and jax.default_backend() == "tpu")
         frame = render_wave_ao(self.buffers, camera, idx, self.sample_index,
                                self.gpu_config, self.width, self.cpu_config.seed,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, use_wide=use_wide)
         self.accumulator = self.accumulator + (frame - self.accumulator) / (self.sample_index + 1)
         self.sample_index += 1
 

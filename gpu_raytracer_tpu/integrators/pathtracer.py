@@ -127,7 +127,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
                 has_media: bool = False, use_pallas: bool = False,
-                use_pallas_shade: bool = False, use_wide: bool = False):
+                use_pallas_shade: bool = False, use_wide: bool = False,
+                valid_mask=None):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -147,7 +148,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
-    alive = jnp.ones(R, bool)
+    # valid_mask kills tail-wave padding lanes (clamped duplicate pixels)
+    # before any ray is traced — shapes stay static, no recompile.
+    alive = jnp.ones(R, bool) if valid_mask is None else valid_mask
+    del valid_mask
     prev_allow_nee = jnp.zeros(R, bool)  # primary rays: emissive hits count fully
     last_pdf = jnp.ones(R, jnp.float32)
     # AOV accumulators (reference: Src/CUDA/AOV.h; direct = emission reaching
@@ -230,8 +234,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
         rays_traced = rays_traced + jnp.sum(alive)
         if use_wide:
-            hit = trace_closest_wide(*buffers["wide"], ray_o, ray_d,
-                                     jnp.where(alive, INF, jnp.float32(0.0)))
+            # Coherence sort per bounce wavefront: the block-synchronous
+            # kernel's cost scales with each tile's union working set, which
+            # diffuse bounces otherwise blow up ~25x (ops/ray_sort.py).
+            from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
+
+            hit = trace_sorted(
+                lambda o, d, t: trace_closest_wide(*buffers["wide"], o, d, t),
+                ray_o, ray_d, jnp.where(alive, INF, jnp.float32(0.0)),
+                buffers["nodes"]["root_min"], buffers["nodes"]["root_max"])
         elif use_pallas:
             hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                        jnp.where(alive, INF, jnp.float32(0.0)))
@@ -380,11 +391,9 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         }
         albedo = jnp.stack([materials["diffuse_T"][0][mat_id], materials["diffuse_T"][1][mat_id], materials["diffuse_T"][2][mat_id]], axis=-1)
         if has_textures and config.enable_mipmapping:
-            # Ray-cone isotropic texture LOD (reference: RayCone.h
-            # sample_albedo iso path + Triangle.h triangle_get_lod). The
-            # reference switches to anisotropic gradients at bounce 0; the
-            # isotropic cone is used at every bounce here (deviation noted
-            # in docs — gradients need the ellipse-axis projection).
+            # Ray-cone texture LOD (reference: RayCone.h + Pathtracer.cu
+            # :668-690): ANISOTROPIC ellipse-axis gradients at bounce 0,
+            # isotropic cone after (matching the reference's policy).
             cone_width = cone_width + cone_angle * jnp.where(alive, hit.t, 0.0)
             tex_id = materials["texture"][mat_id]
             e1w = _affine_dir(instances["fwd_T"], ii, e1_obj)
@@ -394,17 +403,50 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             uv_e2 = tris["uv2"][ti] - tris["uv0"][ti]
             double_area_tex = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1]
                                       - uv_e2[:, 0] * uv_e1[:, 1])
-            lod_tri = jnp.sqrt(double_area_tex
-                               / jnp.maximum(double_area_world, 1e-20))
-            lod_cone = jnp.abs(cone_width / jnp.minimum(
-                jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
-            tidc = jnp.maximum(tex_id, 0)
-            mip = (buffers["textures"]["base_lod"][tidc]
-                   + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
-            from gpu_raytracer_tpu.ops.textures import sample_bilinear_lod
+            from gpu_raytracer_tpu.ops.textures import (
+                sample_aniso_grad,
+                sample_bilinear_lod,
+            )
 
-            tex_rgb = sample_bilinear_lod(buffers["textures"], tex_id,
-                                          uv[:, 0], uv[:, 1], mip)
+            def iso_tex(_):
+                lod_tri = jnp.sqrt(double_area_tex
+                                   / jnp.maximum(double_area_world, 1e-20))
+                lod_cone = jnp.abs(cone_width / jnp.minimum(
+                    jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
+                tidc = jnp.maximum(tex_id, 0)
+                mip = (buffers["textures"]["base_lod"][tidc]
+                       + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
+                return sample_bilinear_lod(buffers["textures"], tex_id,
+                                           uv[:, 0], uv[:, 1], mip)
+
+            def aniso_tex(_):
+                # Cone ellipse axes on the surface (RT Gems ch.20 / reference
+                # RayCone.h:5-35): a1 along the projected direction, a2
+                # perpendicular, both scaled so their direction-orthogonal
+                # extent equals the cone width.
+                nd = jnp.sum(geom_n * ray_d, axis=-1, keepdims=True)
+                a1 = ray_d - nd * geom_n
+                p1 = a1 - jnp.sum(ray_d * a1, axis=-1, keepdims=True) * ray_d
+                a1 = a1 * (cone_width / jnp.maximum(
+                    jnp.linalg.norm(p1, axis=-1), 1e-4))[:, None]
+                a2 = jnp.cross(geom_n, a1)
+                p2 = a2 - jnp.sum(ray_d * a2, axis=-1, keepdims=True) * ray_d
+                a2 = a2 * (cone_width / jnp.maximum(
+                    jnp.linalg.norm(p2, axis=-1), 1e-4))[:, None]
+                # World axes -> barycentric deltas -> uv gradients.
+                ng = jnp.cross(e1w, e2w)
+                denom = jnp.maximum(jnp.sum(ng * ng, axis=-1), 1e-20)
+
+                def to_uv(a):
+                    al = jnp.sum(jnp.cross(a, e2w) * ng, axis=-1) / denom
+                    be = jnp.sum(jnp.cross(e1w, a) * ng, axis=-1) / denom
+                    return al[:, None] * uv_e1 + be[:, None] * uv_e2
+
+                return sample_aniso_grad(buffers["textures"], tex_id,
+                                         uv[:, 0], uv[:, 1],
+                                         to_uv(a1), to_uv(a2))
+
+            tex_rgb = jax.lax.cond(first, aniso_tex, iso_tex, 0)
             albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
         # Diffuse folds albedo into throughput once at the hit (reference
         # calc_albedo); plastic's diffuse lobe owns its albedo internally.
@@ -475,8 +517,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             shadow_tmax = jnp.where(want_shadow, dist - 2 * EPSILON,
                                     jnp.float32(0.0))
             if use_wide:
-                occluded = trace_any_wide(*buffers["wide"], shadow_o,
-                                          to_light, shadow_tmax)
+                from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
+
+                occluded = trace_sorted(
+                    lambda o, d, t: trace_any_wide(*buffers["wide"], o, d, t),
+                    shadow_o, to_light, shadow_tmax,
+                    buffers["nodes"]["root_min"], buffers["nodes"]["root_max"])
             elif use_pallas:
                 occluded = trace_any_pallas(*buffers["pallas"], shadow_o,
                                             to_light, shadow_tmax)
@@ -663,9 +709,12 @@ class Pathtracer:
 
         frame = jnp.zeros((num_pixels, 3), jnp.float32)
         for offset in range(0, num_pixels, wave):
-            pos = offset + jnp.arange(wave, dtype=jnp.int32)
-            pos = jnp.minimum(pos, num_pixels - 1)  # tail wave: clamp (dup work)
+            pos_raw = offset + jnp.arange(wave, dtype=jnp.int32)
+            pos = jnp.minimum(pos_raw, num_pixels - 1)  # tail wave: clamp
             idx = self._tile_order[pos]
+            # Padding lanes of the tail wave are masked dead up front (the
+            # clamped duplicates would otherwise re-render real pixels).
+            mask = pos_raw < num_pixels
             colors = render_wave(self.buffers, camera, idx, self.sample_index,
                                  self.gpu_config, self.width, self.cpu_config.seed,
                                  self.scene.has_lights,
@@ -673,7 +722,8 @@ class Pathtracer:
                                  has_media=len(self.scene.mediums) > 0,
                                  use_pallas=self.use_pallas,
                                  use_pallas_shade=self.use_pallas_shade,
-                                 use_wide=self.use_wide and not self.use_pallas)
+                                 use_wide=self.use_wide and not self.use_pallas,
+                                 valid_mask=mask)
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
 

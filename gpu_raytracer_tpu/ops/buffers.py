@@ -155,6 +155,10 @@ def _aggregate_blas(scene: Scene, sah_cost_node, sah_cost_leaf, force_rebuild):
     cfg = scene.config
     builder = "sbvh" if (cfg and cfg.bvh_type == BVHType.SBVH) else "sah"
     sbvh_alpha = cfg.sbvh_alpha if cfg else 1e-4
+    # BLAS builds stay SERIAL: measured 25s serial vs 35s on the thread
+    # pool for Sponza's 383 meshes (the Python partition bookkeeping is
+    # GIL-bound, so threads only add contention) — unlike mesh/texture
+    # loads, which the pool does help (scene/scene.py, texture decode).
     for md in scene.mesh_datas:
         bvh = md.bvh
         if bvh is None:
@@ -321,14 +325,20 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     from gpu_raytracer_tpu.ops.textures import pack_texture_pool
 
     mip_filter = scene.config.mipmap_filter if scene.config else None
-    chains = []
-    for slot in scene.textures:
+    mips_on = bool(scene.config and scene.config.enable_mipmapping)
+
+    def decode_one(slot):
+        # Decode + mip on the loader pool (reference: texture loads are
+        # ThreadPool jobs, AssetManager.cpp:57-95; PIL + numpy release
+        # the GIL).
         if slot.data is None:
             slot.data = load_image(slot.filename)
-        if scene.config and scene.config.enable_mipmapping:
-            chains.append(generate_mips(slot.data, mip_filter))
-        else:
-            chains.append([slot.data])
+        return generate_mips(slot.data, mip_filter) if mips_on else [slot.data]
+
+    from gpu_raytracer_tpu.utils import pool as loader_pool
+
+    chains = [f.result() for f in
+              [loader_pool.submit(decode_one, s) for s in scene.textures]]
     textures = pack_texture_pool(chains)
 
     packed_tris = np.concatenate(

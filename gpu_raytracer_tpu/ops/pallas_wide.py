@@ -25,7 +25,7 @@ Design rationale (all measured on a v5e, tools/exp_*.py):
 Table formats are packed by bvh/wide.py:
   nodes (N, 128) f32: 8 children x 6 bounds at [c*6..c*6+6), child refs at
     [48+c] (>= 0 wide-node id | -1 empty | <= -2 leaf row -(v+2))
-  rows (L, 128) f32: slot 0 = count (tri leaf, <= 12 tris) or -1 (instance)
+  rows (L, 128) f32: slot 0 = count (tri leaf, <= LEAF_CAP tris) or -1 (instance)
     tri leaf: [1+j] global tri id; [16+j*9..+9) p0|e1|e2
     instance: [1] instance id; [2..14) inverse transform; [14] BLAS root
 
@@ -47,7 +47,7 @@ BLOCK = 1024            # rays per tile, shaped (8, 128)
 STACK_DEPTH = 160       # wide depth ~8 levels x 7 pushes + TLAS + headroom
 RESTORE = -1            # stack marker: restore world-space ray
 SHAPE = (8, 128)
-LEAF_CAP = 12
+LEAF_CAP = 4   # matches the BVH2 build's LEAF_SIZE; the tri loop unrolls this
 
 _DIV_EPS = 1e-12
 _RAY_EPS = 1e-4
@@ -101,9 +101,8 @@ def _kernel(any_hit, node_ref, row_ref,
             (sp, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz,
              best_t, best_tri, best_inst, best_u, best_v, occ) = args
             row = node_ref[v]
-            # Visit slots in reverse so slot 0 pops (and is intersected)
-            # first — pack order puts larger-SA children first.
-            for c in range(7, -1, -1):
+            keys, refs = [], []
+            for c in range(8):
                 ref = row[48 + c].astype(jnp.int32)
                 bx0 = row[c * 6 + 0]
                 by0 = row[c * 6 + 1]
@@ -124,10 +123,36 @@ def _kernel(any_hit, node_ref, row_ref,
                                              jnp.maximum(ty0, ty1)),
                                  jnp.maximum(tz0, tz1))
                 hit = (tn <= tf) & (tf > 0.0) & (jnp.maximum(tn, 0.0) < cull_t)
-                take = (ref != -1) & jnp.any(hit) & (sp < STACK_DEPTH)
+                # Block-shared front-to-back key: nearest slab entry over the
+                # hitting lanes (the block-sync analog of the reference's
+                # per-ray octant child order, BVH8.h:148-208).
+                tmin = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf))
+                take = (ref != -1) & (tmin < jnp.inf)
+                keys.append(jnp.where(take, tmin, jnp.inf))
+                refs.append(jnp.where(take, ref, -1))
+
+            # Batcher odd-even mergesort on 8 scalar (key, ref) pairs,
+            # ASCENDING by key; pushes run reversed so the nearest child
+            # pops first and best_t tightens as early as possible. Any-hit
+            # skips the sort — occlusion needs no visit order.
+            if not any_hit:
+                for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                             (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                             (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                             (5, 6)):
+                    swap = keys[a] > keys[b]
+                    ka = jnp.where(swap, keys[b], keys[a])
+                    kb = jnp.where(swap, keys[a], keys[b])
+                    ra = jnp.where(swap, refs[b], refs[a])
+                    rb = jnp.where(swap, refs[a], refs[b])
+                    keys[a], keys[b] = ka, kb
+                    refs[a], refs[b] = ra, rb
+
+            for c in range(7, -1, -1):  # far -> near; near on top of stack
+                take = (refs[c] != -1) & (sp < STACK_DEPTH)
                 # Unconditional write; non-taken pushes land in the scrap
                 # slot (scalar branches cost more than a junk store).
-                stack_ref[jnp.where(take, sp, SCRAP)] = ref
+                stack_ref[jnp.where(take, sp, SCRAP)] = refs[c]
                 sp = sp + take.astype(jnp.int32)
             return (sp, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz,
                     best_t, best_tri, best_inst, best_u, best_v, occ)

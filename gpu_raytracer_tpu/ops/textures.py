@@ -103,3 +103,35 @@ def sample_bilinear_lod(textures, texture_id, u, v, lod):
         return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
     return bilinear(l0) * (1 - f) + bilinear(l1) * f
+
+
+ANISO_MAX = 4.0   # footprint anisotropy clamp (hardware maxAniso analog)
+ANISO_TAPS = 4    # trilinear taps along the major axis
+
+
+def sample_aniso_grad(textures, texture_id, u, v, g1, g2):
+    """Software anisotropic filtering — the tex2DGrad analog (reference:
+    Pathtracer.cu:668-690 aniso path at bounce 0). g1/g2 are the uv-space
+    texture gradients (projected ellipse axes); the footprint is sampled
+    with ANISO_TAPS trilinear taps along the major axis at the lod of the
+    (clamped) minor axis."""
+    tid = jnp.maximum(texture_id, 0)
+    w0 = textures["width"][tid, 0].astype(jnp.float32)
+    h0 = textures["height"][tid, 0].astype(jnp.float32)
+    l1 = jnp.sqrt((g1[:, 0] * w0) ** 2 + (g1[:, 1] * h0) ** 2)
+    l2 = jnp.sqrt((g2[:, 0] * w0) ** 2 + (g2[:, 1] * h0) ** 2)
+    major_is_1 = l1 >= l2
+    major_len = jnp.where(major_is_1, l1, l2)
+    minor_len = jnp.where(major_is_1, l2, l1)
+    major = jnp.where(major_is_1[:, None], g1, g2)
+    # Effective isotropic footprint: minor axis, clamped so the tap line
+    # never under-filters by more than ANISO_MAX.
+    eff = jnp.maximum(jnp.maximum(minor_len, major_len / ANISO_MAX), 1e-8)
+    lod = jnp.log2(eff)
+    acc = 0.0
+    for i in range(ANISO_TAPS):
+        t = (i + 0.5) / ANISO_TAPS - 0.5
+        acc = acc + sample_bilinear_lod(textures, texture_id,
+                                        u + major[:, 0] * t,
+                                        v + major[:, 1] * t, lod)
+    return acc * (1.0 / ANISO_TAPS)

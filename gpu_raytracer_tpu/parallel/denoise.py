@@ -1,0 +1,77 @@
+"""Multi-chip denoised frame: trace + SVGF + TAA in ONE pjit program
+(SURVEY §5.8; reference single-GPU equivalent: Pathtracer::render() SVGF
+branch, Src/CUDA/SVGF/SVGF.h:130-609).
+
+Sharding layout:
+  * tracing wavefront: pixel axis sharded (row-major pixels = image rows)
+  * SVGF/TAA images + history: first (row) axis sharded with the SAME
+    partitioning, so the reshape (H*W,) -> (H, W, C) is layout-free
+  * scene buffers / camera / view-projection: replicated
+
+The à-trous/variance stencils and the reprojection gathers are written as
+plain jnp ops; GSPMD propagates the row sharding through them and inserts
+the halo/gather collectives itself — the XLA-native alternative to
+hand-written ppermute halo exchange. The whole frame is one jit, so the
+trace -> denoise boundary never leaves the device."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_denoised_step(mesh: Mesh, config, width: int, height: int,
+                        seed: int = 0, has_lights: bool = True,
+                        has_textures: bool = False,
+                        axis_name: str = "pixels"):
+    """Returns jitted
+    fn(buffers, camera, pixel_index, sample_index, history, vp_prev,
+       taa_prev, is_first) -> (colour (H, W, 3), new_history, new_taa_prev)
+    with pixel/row shardings bound. `history` is ops/svgf.SVGFHistory."""
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops import svgf as svgf_ops
+    from gpu_raytracer_tpu.ops import taa as taa_ops
+
+    sharded = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+
+    def step(buffers, camera, pixel_index, sample_index, history, vp_prev,
+             taa_prev, is_first):
+        aovs = render_wave(buffers, camera, pixel_index, sample_index,
+                           config, width, seed, has_lights,
+                           has_textures=has_textures, with_aovs=True)
+
+        def img(x):
+            return x.reshape((height, width) + x.shape[1:])
+
+        frame = {k: img(aovs[k]) for k in
+                 ("direct", "indirect", "albedo", "normal", "depth",
+                  "instance", "position_prev")}
+        colour, new_history = svgf_ops.svgf_step(frame, history, vp_prev,
+                                                 config)
+        if config.enable_taa:
+            taa_in = taa_ops.to_taa_space(jnp.maximum(colour, 0.0))
+            prev = jnp.where(is_first, taa_in, taa_prev)
+            screen_prev = svgf_ops.project_to_screen(
+                frame["position_prev"], vp_prev, width, height)
+            taa_out = taa_ops.taa_step(taa_in, prev, screen_prev)
+            colour = taa_ops.from_taa_space(taa_out)
+        else:
+            taa_out = taa_prev
+        return colour, new_history, taa_out
+
+    hist_sharding = jax.tree.map(lambda _: sharded,
+                                 _history_structure(height, width))
+    return jax.jit(
+        step,
+        in_shardings=(replicated, replicated, sharded, replicated,
+                      hist_sharding, replicated, sharded, replicated),
+        out_shardings=(sharded, hist_sharding, sharded),
+    )
+
+
+def _history_structure(height: int, width: int):
+    from gpu_raytracer_tpu.ops import svgf as svgf_ops
+
+    return svgf_ops.init_history(height, width)

@@ -102,7 +102,8 @@ class Scene:
             raise ValueError(f"unsupported scene file format: {filename}")
 
     def finalize(self) -> None:
-        """Post-load: material flags, sky decode, camera resize."""
+        """Post-load: join async loads, material flags, sky decode."""
+        self.wait_until_loaded()
         self.check_materials()
         if self.sky is None:
             if self.sky_filename:
@@ -118,23 +119,40 @@ class Scene:
 
     def add_mesh_data_from_file(self, filename: str, loader: Callable[[str], TriangleData],
                                 cache_key: Optional[str] = None) -> int:
+        """Async mesh registration (reference: AssetManager::add_mesh_data
+        submits the load to the ThreadPool and returns the handle
+        immediately, AssetManager.cpp:57-95). The future resolves in
+        `wait_until_loaded` (called from finalize)."""
+        from gpu_raytracer_tpu.utils import pool
+
         key = cache_key or filename
         if key in self._mesh_data_cache:
             return self._mesh_data_cache[key]
-        try:
-            triangles = loader(filename)
-        except (OSError, ValueError) as exc:
-            # Degrade gracefully like the reference (dummy triangle for
-            # unloadable meshes, AssetManager.cpp:66-79) instead of aborting
-            # the whole scene load.
-            print(f"WARNING: failed to load mesh {filename!r}: {exc}")
-            dummy = np.zeros((1, 3, 3), np.float32)
-            dummy[0, 1, 0] = 1e-6
-            dummy[0, 2, 1] = 1e-6
-            triangles = TriangleData(dummy)
-        handle = self.add_mesh_data(triangles, name=os.path.basename(filename))
+        handle = self.add_mesh_data(None, name=os.path.basename(filename))
+        self.mesh_datas[handle]._future = pool.submit(loader, filename)
+        self.mesh_datas[handle]._filename = filename
         self._mesh_data_cache[key] = handle
         return handle
+
+    def wait_until_loaded(self) -> None:
+        """Join every outstanding mesh load (reference:
+        AssetManager::wait_until_loaded = ThreadPool::sync). Failed loads
+        degrade to a dummy triangle like the reference
+        (AssetManager.cpp:66-79) instead of aborting the scene."""
+        for md in self.mesh_datas:
+            fut = getattr(md, "_future", None)
+            if fut is None:
+                continue
+            try:
+                md.triangles = fut.result()
+            except (OSError, ValueError) as exc:
+                print(f"WARNING: failed to load mesh "
+                      f"{getattr(md, '_filename', md.name)!r}: {exc}")
+                dummy = np.zeros((1, 3, 3), np.float32)
+                dummy[0, 1, 0] = 1e-6
+                dummy[0, 2, 1] = 1e-6
+                md.triangles = TriangleData(dummy)
+            md._future = None
 
     def add_material(self, material: Material) -> int:
         self.materials.append(material)

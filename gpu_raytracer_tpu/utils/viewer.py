@@ -87,6 +87,7 @@ def query_pixel(integrator, x: int, y: int):
         "instance_name": instance.name,
         "triangle": int(hit.tri[0]),
         "material": material.name,
+        "material_id": instance.material_id,
         "material_type": material.type.name,
         "t": float(hit.t[0]),
     }
@@ -102,6 +103,7 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
     timer = FrameTimer()
     integrator.init_device()
 
+    qx, qy = integrator.width // 2, integrator.height // 2  # query crosshair
     old_attrs = None
     if interactive:
         old_attrs = termios.tcgetattr(sys.stdin)
@@ -138,10 +140,36 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                             xf.quat_axis_angle([0, 1, 0], sign * ROTATION_SPEED * delta),
                             camera.rotation)
                         moved = True
+                    elif k in "IKJL":  # move the query crosshair
+                        qx += 8 * ((k == "L") - (k == "J"))
+                        qy += 8 * ((k == "I") - (k == "K"))
+                        qx = int(np.clip(qx, 0, integrator.width - 1))
+                        qy = int(np.clip(qy, 0, integrator.height - 1))
+                        print(f"\x1b[Hcrosshair ({qx}, {qy})\x1b[K")
                     elif k == "p":
-                        info = query_pixel(integrator, integrator.width // 2,
-                                           integrator.height // 2)
+                        info = query_pixel(integrator, qx, qy)
                         print(f"\x1b[Hpixel query: {info}\x1b[K")
+                    elif k in "[]+-":
+                        # Live material edit at the crosshair via the
+                        # invalidation protocol (reference: ImGui editor ->
+                        # invalidated_materials, Main.cpp:498-658).
+                        info = query_pixel(integrator, qx, qy)
+                        if info is not None:
+                            m = integrator.scene.materials[info["material_id"]]
+                            if k in "[]":
+                                m.linear_roughness = float(np.clip(
+                                    m.linear_roughness + (0.05 if k == "]" else -0.05),
+                                    0.0, 1.0))
+                            else:
+                                f = 1.25 if k == "+" else 0.8
+                                if m.is_light():
+                                    m.emission = m.emission * f
+                                else:
+                                    m.diffuse = np.clip(m.diffuse * f, 0.0, 1.0)
+                            integrator.invalidated.materials = True
+                            integrator.update(0.0)
+                            print(f"\x1b[Hmaterial '{m.name}' edited: "
+                                  f"rough={m.linear_roughness:.2f}\x1b[K")
                     elif k == "r":
                         # Hot reload: rebuild device buffers + re-trace (F5).
                         integrator.init_device()
@@ -160,8 +188,8 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
             sys.stdout.write("\x1b[H" + render_to_terminal(frame, max_cols) + "\n")
             sys.stdout.write(
                 f"spp {integrator.sample_index}  {stats['avg_ms']:.0f} ms/frame "
-                f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, p query, "
-                f"r reload, x quit]\x1b[K\n")
+                f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, IJKL crosshair, "
+                f"p query, []/-+ edit material, r reload, x quit]\x1b[K\n")
             sys.stdout.flush()
 
             if not interactive and target_samples and \

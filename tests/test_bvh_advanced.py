@@ -62,6 +62,26 @@ class TestSBVH:
         sbvh = SBVHBuilder(sbvh_alpha=2.0).build(tris)
         assert sbvh.num_prims == len(tris)  # no duplication
 
+    def test_clipped_tri_aabb_exact(self):
+        from gpu_raytracer_tpu.bvh.sbvh import clipped_tri_aabb
+
+        # Diagonal triangle in the xy plane; clip to x-slab [0.25, 0.5].
+        tri = np.array([[[0.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]]],
+                       np.float32)
+        mn, mx = clipped_tri_aabb(tri, 0, 0.25, 0.5)
+        # Inside the slab the triangle's y spans [0, x]: exact hull is
+        # y in [0, 0.5] — an AABB chop of the whole-triangle box would
+        # report y in [0, 1].
+        np.testing.assert_allclose(mn[0], [0.25, 0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(mx[0], [0.5, 0.5, 0.0], atol=1e-6)
+        # Slab entirely right of the triangle -> empty (inverted) box.
+        mn, mx = clipped_tri_aabb(tri, 0, 1.5, 2.0)
+        assert np.any(mn[0] > mx[0])
+        # Half-space clip at x >= 0.5 keeps the right part.
+        mn, mx = clipped_tri_aabb(tri, 0, 0.5, np.inf)
+        np.testing.assert_allclose(mn[0], [0.5, 0.0, 0.0], atol=1e-6)
+        np.testing.assert_allclose(mx[0], [1.0, 1.0, 0.0], atol=1e-6)
+
 
 class TestOptimizer:
     def test_cost_never_increases(self):

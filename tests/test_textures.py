@@ -1,0 +1,64 @@
+"""Texture pool sampling: trilinear + software anisotropic filtering."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpu_raytracer_tpu.assets.texture import generate_mips
+from gpu_raytracer_tpu.ops.textures import (
+    pack_texture_pool,
+    sample_aniso_grad,
+    sample_bilinear_lod,
+)
+
+
+def _bands_texture(n=64):
+    """Horizontal bands: white for v < 0.5, black after (varies along v)."""
+    img = np.zeros((n, n, 3), np.uint8)
+    img[: n // 2] = 255
+    return img
+
+
+def _pool():
+    return pack_texture_pool([generate_mips(_bands_texture(), None)])
+
+
+def test_aniso_tiny_footprint_matches_bilinear():
+    tex = _pool()
+    tid = jnp.zeros(4, jnp.int32)
+    u = jnp.asarray([0.2, 0.6, 0.4, 0.8], jnp.float32)
+    v = jnp.asarray([0.2, 0.2, 0.7, 0.7], jnp.float32)
+    g_tiny = jnp.full((4, 2), 1e-6, jnp.float32)
+    a = sample_aniso_grad(tex, tid, u, v, g_tiny, g_tiny)
+    b = sample_bilinear_lod(tex, tid, u, v, jnp.zeros(4, jnp.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_aniso_preserves_detail_across_major_axis():
+    """Footprint long along u, thin along v, on horizontal bands: the aniso
+    taps march along u (constant band) and stay sharp, while an isotropic
+    lookup at the major-axis lod blurs toward gray."""
+    tex = _pool()
+    tid = jnp.zeros(1, jnp.int32)
+    u = jnp.asarray([0.5], jnp.float32)
+    v = jnp.asarray([0.45], jnp.float32)  # white band, near the edge
+    g1 = jnp.asarray([[0.4, 0.0]], jnp.float32)   # 25.6 texels along u
+    g2 = jnp.asarray([[0.0, 1.0 / 64]], jnp.float32)  # 1 texel along v
+
+    aniso = float(np.asarray(sample_aniso_grad(tex, tid, u, v, g1, g2))[0, 0])
+    iso_lod = jnp.log2(jnp.asarray([0.4 * 64], jnp.float32))
+    iso = float(np.asarray(sample_bilinear_lod(tex, tid, u, v, iso_lod))[0, 0])
+    assert aniso > 0.9, aniso          # still firmly in the white band
+    assert iso < aniso - 0.1, (iso, aniso)  # iso footprint bleeds the bands
+
+
+def test_aniso_wraps_across_border():
+    tex = _pool()
+    tid = jnp.zeros(1, jnp.int32)
+    # Taps span u in [0.9, 1.1]: must wrap, not clamp or crash.
+    out = sample_aniso_grad(
+        tex, tid, jnp.asarray([1.0], jnp.float32),
+        jnp.asarray([0.25], jnp.float32),
+        jnp.asarray([[0.2, 0.0]], jnp.float32),
+        jnp.asarray([[0.0, 0.01]], jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(out[0, 0]) > 0.9  # white band everywhere at v=0.25
