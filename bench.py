@@ -39,7 +39,8 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
 
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = buffers.get("pallas") is not None and on_tpu
-    use_shade = use_pallas and buffers.get("pallas_shade") is not None
+    use_shade = (use_pallas and buffers.get("pallas_shade") is not None
+                 and W % 32 == 0 and H % 32 == 0 and num_bounces <= 12)
     use_wide = (buffers.get("wide") is not None and on_tpu
                 and not use_pallas)
 
@@ -108,11 +109,61 @@ def bench_denoised(scene_file, W, H, frames=3):
     return (time.time() - t0) / frames * 1000.0
 
 
+def pallas_parity_check():
+    """Mosaic-lowering regression guard (runs on the real chip only): trace
+    one small wave through every Pallas kernel AND its XLA twin, compare.
+    CI only exercises interpret=True; this catches compiled-path breaks."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_raytracer_tpu.config import CPUConfig
+    from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
+    from gpu_raytracer_tpu.ops.camera_rays import generate_primary_rays, tile_order
+    from gpu_raytracer_tpu.ops.pallas_traverse import trace_closest_pallas
+    from gpu_raytracer_tpu.ops.pallas_wide import trace_closest_wide
+    from gpu_raytracer_tpu.ops.traverse import trace_closest_tlas
+    from gpu_raytracer_tpu.scene import Scene
+
+    if jax.default_backend() != "tpu":
+        return None
+    scene = Scene.from_config(CPUConfig(
+        scene_filenames=["/root/reference/Data/cornellbox/scene.xml"]))
+    scene.film_width = scene.film_height = 64
+    scene.camera.resize(64, 64)
+    scene.camera.update(0.0)
+    bufs = build_scene_buffers(scene)
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    pix = jnp.asarray(tile_order(64, 64))
+    from gpu_raytracer_tpu.config import ReconstructionFilter
+
+    o, d = generate_primary_rays(camera, pix, 64, 0, ReconstructionFilter.BOX)
+    tmax = jnp.full((64 * 64,), jnp.inf, jnp.float32)
+    ref = trace_closest_tlas(bufs["nodes"], bufs["tris"], bufs["instances"],
+                             o, d, tmax)
+    ok = True
+    if bufs.get("pallas") is not None:
+        h = trace_closest_pallas(*bufs["pallas"], o, d, tmax)
+        ok &= bool(np.allclose(np.asarray(h.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5, equal_nan=True))
+    if bufs.get("wide") is not None:
+        h = trace_closest_wide(*bufs["wide"], o, d, tmax)
+        ok &= bool(np.allclose(np.asarray(h.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5, equal_nan=True))
+    return ok
+
+
 def main() -> int:
     from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
 
     sponza = "/root/reference/Data/Sponza/scene.xml"
     cornell = "/root/reference/Data/cornellbox/scene.xml"
+
+    try:
+        parity = pallas_parity_check()
+    except Exception as e:
+        print(f"[bench] pallas parity check failed: {e}", file=sys.stderr)
+        parity = False
 
     mrays, ms, paths = bench_scene(sponza, 1920, 1080, 3, POVS_SPONZA[:3])
     cor_mrays, cor_ms, _ = bench_scene(cornell, 512, 512, 6, None, samples=4)
@@ -129,6 +180,7 @@ def main() -> int:
         "sponza_ms_per_sample": round(ms, 1),
         "svgf_taa_1080p_ms_frame": round(den_ms, 1) if den_ms else None,
         "cornell512_mrays": round(cor_mrays, 3),
+        "pallas_tpu_parity_ok": parity,
         "paths": paths,
     }))
     return 0

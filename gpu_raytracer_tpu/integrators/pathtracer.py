@@ -188,25 +188,42 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                    jnp.where(alive, INF, jnp.float32(0.0)))
 
-        u_pick, _ = draw2(rng.SampleDimension.NEE_LIGHT,
-                          pixel_index, bounce, sample_index)
-        u_b1, u_b2 = draw2(rng.SampleDimension.NEE_TRIANGLE,
-                           pixel_index, bounce, sample_index)
-        u_d0, u_d1 = draw2(rng.SampleDimension.BSDF_1,
-                           pixel_index, bounce, sample_index)
-        u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
-                        pixel_index, bounce, sample_index)
-        params = jnp.zeros(16, jnp.float32)
+        params = jnp.zeros(32, jnp.float32)
         params = params.at[0].set(bounce.astype(jnp.float32))
         params = params.at[1].set(jnp.float32(config.num_bounces))
         sky_rgb = buffers["sky"][0, 0] * buffers["sky_scale"]
         params = params.at[2:5].set(sky_rgb)
         params = params.at[5].set(lights["total_weight"])
+        params = params.at[6].set(jnp.asarray(sample_index, jnp.float32))
+        # Per-draw-site sampler scalars for the in-kernel sampler (the PMJ
+        # pair for a (dim, bounce, sample) triple is wave-wide constant).
+        sampler = buffers["sampler"]
+        s_u = jnp.asarray(sample_index, jnp.uint32)
+        bounce_u = bounce.astype(jnp.uint32)
+        from gpu_raytracer_tpu.config import (
+            PMJ_NUM_SAMPLES_PER_SEQUENCE as _PMJ_N,
+            PMJ_NUM_SEQUENCES as _PMJ_S,
+            BLUE_NOISE_NUM_TEXTURES as _BN_T,
+        )
+
+        for site, dim in enumerate((rng.SampleDimension.RUSSIAN_ROULETTE,
+                                    rng.SampleDimension.NEE_LIGHT,
+                                    rng.SampleDimension.NEE_TRIANGLE,
+                                    rng.SampleDimension.BSDF_1)):
+            dim_total = (jnp.uint32(int(dim))
+                         + jnp.uint32(int(rng.SampleDimension.NUM_BOUNCE))
+                         * bounce_u)
+            flat = ((dim_total % _PMJ_S) * _PMJ_N
+                    + jnp.minimum(s_u, _PMJ_N - 1)).astype(jnp.int32)
+            b = 16 + site * 4
+            params = params.at[b].set(sampler["seq_x"][flat])
+            params = params.at[b + 1].set(sampler["seq_y"][flat])
+            params = params.at[b + 2].set((dim_total % _BN_T).astype(jnp.float32))
+            params = params.at[b + 3].set((s_u < _PMJ_N).astype(jnp.float32))
 
         out = shade_diffuse_pallas(
-            buffers["pallas_shade"], params, hit, ray_o, ray_d, throughput,
-            alive, prev_allow_nee, last_pdf,
-            (u_pick, u_b1, u_b2, u_d0, u_d1, u_rr),
+            buffers["pallas_shade"], sampler, params, hit, ray_o, ray_d,
+            throughput, alive, prev_allow_nee, last_pdf, pixel_index, width,
             enable_nee=nee_possible, enable_mis=config.enable_mis,
             enable_rr=config.enable_russian_roulette)
 
@@ -572,10 +589,22 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
              last_pdf, medium_id, cone_width, direct, aov_albedo, aov_normal,
              aov_position, aov_position_prev, aov_depth, aov_instance,
              rays_traced)
-    # Bounce loop as lax.fori_loop: the per-bounce program is traced ONCE, so
-    # compile time is independent of num_bounces (the unrolled form made
-    # 48-bounce furnace configs take tens of minutes to compile).
-    carry = jax.lax.fori_loop(0, config.num_bounces, body, carry)
+    # Bounce loop as lax.while_loop: the per-bounce program is traced ONCE
+    # (compile time independent of num_bounces — the unrolled form made
+    # 48-bounce furnace configs take tens of minutes to compile), and the
+    # loop exits as soon as every lane is dead. Mitsuba scenes ship
+    # maxDepth=65; with RR the effective depth is ~6-10, and the reference's
+    # queue compaction makes late bounces near-free — this is the TPU
+    # equivalent (a bounce with zero alive lanes is skipped entirely).
+    def _cond(state):
+        b, c = state
+        return (b < config.num_bounces) & jnp.any(c[4])
+
+    def _body(state):
+        b, c = state
+        return b + 1, body(b, c)
+
+    _, carry = jax.lax.while_loop(_cond, _body, (jnp.int32(0), carry))
     (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
      medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
      aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
@@ -649,9 +678,16 @@ class Pathtracer:
     @property
     def use_pallas_shade(self) -> bool:
         """The fused shade megakernel runs for diffuse/emissive scenes on
-        TPU when not rendering AOVs (ops/pallas_shade.py gate)."""
+        TPU when not rendering AOVs (ops/pallas_shade.py gate). The
+        in-kernel sampler additionally needs 32-aligned film dims (ray
+        blocks must sit inside one 32x32 screen tile for the blue-noise
+        row trick), the PMJ sampler, and bounce depths whose sampler dims
+        stay inside the 64 PMJ sequences."""
         return (self.use_pallas
-                and self.buffers.get("pallas_shade") is not None)
+                and self.buffers.get("pallas_shade") is not None
+                and self.width % 32 == 0 and self.height % 32 == 0
+                and self.gpu_config.sampler == "pmj"
+                and self.gpu_config.num_bounces <= 12)
 
     @property
     def use_wide(self) -> bool:
@@ -700,6 +736,10 @@ class Pathtracer:
             self.init_device()
         num_pixels = self.width * self.height
         wave = min(self.cpu_config.batch_size, num_pixels)
+        if self.use_pallas_shade:
+            # The in-kernel sampler needs every 1024-ray block inside one
+            # 32x32 screen tile: keep wave offsets block-aligned.
+            wave = max(wave // 1024 * 1024, 1024)
         camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
 
         if getattr(self, "_tile_order", None) is None or                 self._tile_order.shape[0] != num_pixels:

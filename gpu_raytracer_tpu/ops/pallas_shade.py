@@ -11,9 +11,16 @@ reference's material kernel (Src/CUDA/Pathtracer.cu:465-773 shade_material +
 
 Scope gate (`supports_shade`): every material is DIFFUSE or LIGHT, no
 textures/media/AOVs, constant (1x1) sky — exactly the Cornell-class scenes.
-Everything else keeps the XLA shading path. Low-discrepancy sampler draws
-stay OUTSIDE the kernel (they need the PMJ/blue-noise tables and per-pixel
-streams); the kernel consumes 6 pre-drawn uniforms per ray.
+Everything else keeps the XLA shading path.
+
+The low-discrepancy sampler runs IN-KERNEL (reference does all sampling
+in-kernel too, Sampling.h:44-84): the PMJ pair for a (dim, bounce, sample)
+triple is one SCALAR per wave (host passes it via params), the per-pixel
+blue-noise Cranley-Patterson rotation is a single dynamically-indexed
+1024-lane row read (32x32 ray tiles align with the noise textures' 4x4
+tiling — ops/pmj.pack_noise_rows), and the past-4096-samples hash fallback
+is plain uint32 ALU. The out-of-kernel draws this replaces measured
+~54 ms/bounce at 512^2.
 
 Table layouts (packed by ops/buffers.py `_pack_pallas_shade`):
   tri_geo (16, T): [0:9]  p0|e1|e2 (object space; same as the traversal table)
@@ -22,8 +29,10 @@ Table layouts (packed by ops/buffers.py `_pack_pallas_shade`):
   inst_b  (16, I): [0:12] inverse transform rows
   mat_tbl (16, M): [0] type, [1:4] emission, [4:7] diffuse
   lgt_tbl (16, L): [0] cdf, [1] light tri id, [2] light instance id
-  params  (16, 1): [0] bounce, [1] num_bounces, [2:5] sky rgb (scale folded),
-                   [5] lights total_weight
+  params  (32, 1): [0] bounce, [1] num_bounces, [2:5] sky rgb (scale folded),
+                   [5] lights total_weight, [6] sample_index;
+                   per draw site s in (RR, NEE_LIGHT, NEE_TRIANGLE, BSDF_1):
+                   [16+4s .. 16+4s+4) = (pmj_x, pmj_y, noise_tex, use_table)
 """
 
 from __future__ import annotations
@@ -126,12 +135,70 @@ def _sample_disk(u1, u2):
     return r * jnp.cos(phi), r * jnp.sin(phi)
 
 
+# ---------------------------------------------------------------------------
+# In-kernel low-discrepancy sampler (reference: Sampling.h:44-84). The PMJ
+# pair for a (dim, bounce, sample) triple is a SCALAR shared by every lane —
+# the host passes it via params. The per-PIXEL part is the blue-noise
+# Cranley-Patterson rotation: 32x32 ray tiles align with the 128x128 noise
+# textures' 4x4 tiling, so the whole block's noise is ONE dynamically
+# indexed 1024-lane row (ops/pmj.pack_noise_rows) — no gather. Past the
+# 4096-sample table the reference switches to a pure hash, mirrored here
+# with in-kernel uint32 ALU.
+# ---------------------------------------------------------------------------
+
+_INV_MAX = float(np.frombuffer(np.uint32(0x2F7FFFFF).tobytes(),
+                               np.float32)[0])
+_INV_24 = float(np.float32(1.0 / (1 << 24)))
+
+
+def _pcg(x):
+    state = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    word = ((state >> ((state >> 28) + jnp.uint32(4))) ^ state) \
+        * jnp.uint32(277803737)
+    return (word >> 22) ^ word
+
+
+def _hash_with(seed, h):
+    seed = (seed ^ jnp.uint32(61)) ^ h
+    seed = seed + (seed << 3)
+    seed = seed ^ (seed >> 4)
+    seed = seed * jnp.uint32(0x27D4EB2D)
+    return seed
+
+
+def _draw2_kernel(params_ref, noise_x, noise_y, tile_row, pix_u, site: int,
+                  dim: int, bounce_u, s_idx_u):
+    base = 16 + site * 4
+    sx_s = params_ref[base, 0]
+    sy_s = params_ref[base + 1, 0]
+    tex = params_ref[base + 2, 0].astype(jnp.int32)
+    use_tab = params_ref[base + 3, 0] > 0.0
+    row = tex * 16 + tile_row
+    nx = noise_x[row].reshape(SHAPE)
+    ny = noise_y[row].reshape(SHAPE)
+    u = sx_s + nx
+    u = jnp.where(u >= 1.0, u - 1.0, u)
+    v = sy_s + ny
+    v = jnp.where(v >= 1.0, v - 1.0, v)
+    # Hash fallback past the table (reference Sampling.h fallback path).
+    # Mosaic has no u32->f32 cast: keep the top 24 bits (exact in a f32
+    # mantissa), go through i32, scale by 2^-24.
+    h = _pcg((pix_u * jnp.uint32(7) + jnp.uint32(dim)) * jnp.uint32(128)
+             + bounce_u)
+    fx = (_hash_with(s_idx_u, h) >> 8).astype(jnp.int32) \
+        .astype(jnp.float32) * _INV_24
+    fy = (_hash_with(s_idx_u + jnp.uint32(0xDEADBEEF), h) >> 8) \
+        .astype(jnp.int32).astype(jnp.float32) * _INV_24
+    return jnp.where(use_tab, u, fx), jnp.where(use_tab, v, fy)
+
+
 def _kernel(enable_nee, enable_mis, enable_rr,
             params_ref, tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, lgt_tbl,
+            tile16_ref, noise_x, noise_y,
             t_ref, tri_ref, inst_ref, u_ref, v_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tpx_ref, tpy_ref, tpz_ref, alive_ref, pnee_ref, lpdf_ref,
-            r0_ref, r1_ref, r2_ref, r3_ref, r4_ref, r5_ref,
+            pix_ref,
             radx_o, rady_o, radz_o,
             nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o,
             ntx_o, nty_o, ntz_o, nalive_o, nnee_o, nlpdf_o,
@@ -158,8 +225,24 @@ def _kernel(enable_nee, enable_mis, enable_rr,
     active = alive_ref[0] != 0
     prev_nee = pnee_ref[0] != 0
     last_pdf = lpdf_ref[0]
-    r0, r1, r2 = r0_ref[0], r1_ref[0], r2_ref[0]
-    r3, r4, r5 = r3_ref[0], r4_ref[0], r5_ref[0]
+
+    # ---- in-kernel sampler draws (reference: random<Dim> Sampling.h:44-84)
+    from gpu_raytracer_tpu.ops.rng import SampleDimension as _SD
+
+    pix_u = pix_ref[0].astype(jnp.uint32)
+    # Mosaic has no f32->u32 cast; go through i32.
+    bounce_u = bounce.astype(jnp.int32).astype(jnp.uint32)
+    s_idx_u = params_ref[6, 0].astype(jnp.int32).astype(jnp.uint32)
+    tile_row = tile16_ref[pl.program_id(0)]
+
+    def draw(site, dim):
+        return _draw2_kernel(params_ref, noise_x, noise_y, tile_row, pix_u,
+                             site, int(dim), bounce_u, s_idx_u)
+
+    r5, _ = draw(0, _SD.RUSSIAN_ROULETTE)
+    r0, _ = draw(1, _SD.NEE_LIGHT)
+    r1, r2 = draw(2, _SD.NEE_TRIANGLE)
+    r3, r4 = draw(3, _SD.BSDF_1)
 
     radx = jnp.zeros(SHAPE, jnp.float32)
     rady = jnp.zeros(SHAPE, jnp.float32)
@@ -363,15 +446,18 @@ def _kernel(enable_nee, enable_mis, enable_rr,
 
 
 @partial(jax.jit, static_argnames=("enable_nee", "enable_mis", "enable_rr",
-                                   "interpret"))
-def shade_diffuse_pallas(tables, params_vec, hit, ray_o, ray_d, throughput,
-                         alive, prev_allow_nee, last_pdf, rnd,
+                                   "width", "interpret"))
+def shade_diffuse_pallas(tables, sampler, params_vec, hit, ray_o, ray_d,
+                         throughput, alive, prev_allow_nee, last_pdf,
+                         pixel_index, width,
                          enable_nee=True, enable_mis=True, enable_rr=True,
                          interpret=False):
     """Run the fused shade stage. `tables` is buffers["pallas_shade"];
-    `params_vec` is a traced (16,) f32 (see module docstring); `rnd` is a
-    tuple of six (R,) uniforms drawn by the XLA-side sampler. Returns a dict
-    of next-wavefront state + radiance/illumination adds."""
+    `sampler` is buffers["sampler"] (for the in-kernel noise rows);
+    `params_vec` is a traced (32,) f32 (see module docstring + the per-site
+    sampler scalars at [16..32)); `pixel_index` must arrive in 32x32-aligned
+    tile order (camera_rays.tile_order with W, H multiples of 32). Returns a
+    dict of next-wavefront state + radiance/illumination adds."""
     interpret = interpret or FORCE_INTERPRET
     tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, lgt_tbl = tables
     R = ray_o.shape[0]
@@ -387,15 +473,25 @@ def shade_diffuse_pallas(tables, params_vec, hit, ray_o, ray_d, throughput,
     block = lambda: pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     tile = lambda x: x.reshape(G, 8, 128)
+
+    pix = p1(pixel_index.astype(jnp.int32))
+    # Per-block noise-tile row: every block sits inside one 32x32 screen
+    # tile, which maps to one of the noise texture's 4x4 tiles.
+    px0 = pix.reshape(G, BLOCK)[:, 0]
+    bx = (px0 % width) // 32 % 4
+    by = (px0 // width) // 32 % 4
+    tile16 = (by * 4 + bx).astype(jnp.int32)
 
     f32 = jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)
     i32 = jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)
     out_shape = [f32] * 3 + [f32] * 6 + [f32] * 3 + [i32, i32, f32] + \
         [f32] * 7 + [f32] * 3
 
-    ins = [params_vec.reshape(16, 1), tri_geo, tri_nrm, inst_a, inst_b,
-           mat_tbl, lgt_tbl,
+    ins = [params_vec.reshape(32, 1), tri_geo, tri_nrm, inst_a, inst_b,
+           mat_tbl, lgt_tbl, tile16,
+           sampler["noise_x_rows"], sampler["noise_y_rows"],
            tile(p1(hit.t)), tile(p1(hit.tri.astype(jnp.int32), -1)),
            tile(p1(hit.inst.astype(jnp.int32), -1)),
            tile(p1(hit.u)), tile(p1(hit.v)),
@@ -405,12 +501,13 @@ def shade_diffuse_pallas(tables, params_vec, hit, ray_o, ray_d, throughput,
            tile(p1(throughput[:, 2])),
            tile(p1(alive.astype(jnp.int32))),
            tile(p1(prev_allow_nee.astype(jnp.int32))),
-           tile(p1(last_pdf, 1.0))] + [tile(p1(r)) for r in rnd]
+           tile(p1(last_pdf, 1.0)),
+           tile(pix)]
 
     outs = pl.pallas_call(
         partial(_kernel, enable_nee, enable_mis, enable_rr),
         grid=grid,
-        in_specs=[smem()] * 7 + [block()] * (len(ins) - 7),
+        in_specs=[smem()] * 8 + [vmem_full()] * 2 + [block()] * (len(ins) - 10),
         out_specs=[block()] * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,

@@ -145,13 +145,34 @@ def load_tables() -> dict:
         noise = generate_blue_noise()
         os.makedirs(_CACHE_DIR, exist_ok=True)
         np.savez_compressed(cache, sequences=seqs, blue_noise=noise)
+    nx_rows, ny_rows = pack_noise_rows(noise)
     return {
         # Component-major flat tables (TPU gather-friendly).
         "seq_x": jnp.asarray(seqs[:, :, 0].reshape(-1)),
         "seq_y": jnp.asarray(seqs[:, :, 1].reshape(-1)),
         "noise_x": jnp.asarray(noise[:, :, :, 0].reshape(-1).astype(np.float32) / 255.0),
         "noise_y": jnp.asarray(noise[:, :, :, 1].reshape(-1).astype(np.float32) / 255.0),
+        # Per-screen-tile noise rows for the in-kernel sampler
+        # (ops/pallas_shade.py): 32x32 screen tiles align with the 128x128
+        # noise textures' 4x4 tiling, so one dynamically-indexed 1024-lane
+        # row read replaces a per-lane gather.
+        "noise_x_rows": jnp.asarray(nx_rows),
+        "noise_y_rows": jnp.asarray(ny_rows),
     }
+
+
+def pack_noise_rows(noise: np.ndarray):
+    """(T, 128, 128, 2) uint8 noise -> two (T*16, 1024) f32 row tables.
+    Row t*16 + ty*4 + tx holds texture t's 32x32 tile (tx, ty) in (y, x)
+    row-major order — the within-tile lane order of camera_rays.tile_order."""
+    T, dim = noise.shape[0], noise.shape[1]
+    tiles = dim // 32
+    out = []
+    for c in range(2):
+        ch = noise[:, :, :, c].astype(np.float32) / 255.0
+        rows = ch.reshape(T, tiles, 32, tiles, 32).transpose(0, 1, 3, 2, 4)
+        out.append(rows.reshape(T * tiles * tiles, 1024))
+    return out[0], out[1]
 
 
 # ---------------------------------------------------------------------------
