@@ -35,6 +35,7 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
 
     config = GPUConfig(num_bounces=num_bounces)
     buffers = build_scene_buffers(scene)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
     pixel_index = jnp.asarray(tile_order(W, H))
 
     on_tpu = jax.default_backend() == "tpu"
@@ -49,7 +50,7 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
                            scene.has_lights, True,
                            has_textures=len(scene.textures) > 0,
                            use_pallas=use_pallas, use_pallas_shade=use_shade,
-                           use_wide=use_wide)
+                           use_wide=use_wide, mat_types=mat_types)
 
     import sys as _sys
     results = []

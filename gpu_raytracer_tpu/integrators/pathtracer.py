@@ -87,32 +87,58 @@ def _affine_normal(inv_cols, idx, n):
     ], axis=-1))
 
 
-def _interpolate_hit(tris, instances, hit):
-    """Reconstruct position/normals/uv from barycentrics in object space and
+def _affine_point_rows(m, v):
+    """m: (R, 12) per-lane affine rows; v: (R, 3)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        m[:, 0] * x + m[:, 1] * y + m[:, 2] * z + m[:, 3],
+        m[:, 4] * x + m[:, 5] * y + m[:, 6] * z + m[:, 7],
+        m[:, 8] * x + m[:, 9] * y + m[:, 10] * z + m[:, 11],
+    ], axis=-1)
+
+
+def _affine_dir_rows(m, v):
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([
+        m[:, 0] * x + m[:, 1] * y + m[:, 2] * z,
+        m[:, 4] * x + m[:, 5] * y + m[:, 6] * z,
+        m[:, 8] * x + m[:, 9] * y + m[:, 10] * z,
+    ], axis=-1)
+
+
+def _affine_normal_rows(inv_m, n):
+    """Inverse-transpose transform from per-lane INVERSE rows (R, 12)."""
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    return normalize(jnp.stack([
+        inv_m[:, 0] * x + inv_m[:, 4] * y + inv_m[:, 8] * z,
+        inv_m[:, 1] * x + inv_m[:, 5] * y + inv_m[:, 9] * z,
+        inv_m[:, 2] * x + inv_m[:, 6] * y + inv_m[:, 10] * z,
+    ], axis=-1))
+
+
+def _interpolate_hit(tris, irow, hit):
+    """Reconstruct position/normal/uv from barycentrics in object space and
     transform into world space with the hit instance's matrices (reference:
-    Pathtracer.cu:596-650 shade_material hit reconstruction)."""
-    ti = jnp.maximum(hit.tri, 0)
-    ii = jnp.maximum(hit.inst, 0)
+    Pathtracer.cu:596-650 shade_material hit reconstruction).
+
+    All per-triangle attributes come from ONE (T, 32) row gather
+    (buffers.py "shade_rows") and the transforms from the pre-fetched
+    per-lane instance rows `irow`: TPU gathers pay HBM latency per start,
+    not per byte, so wide-row fetches beat per-column gathers ~10x
+    (ops/vec.py fetch_rows)."""
     u = hit.u[:, None]
     v = hit.v[:, None]
-    g = tris["geo_T"]
-    p0 = jnp.stack([g[0][ti], g[1][ti], g[2][ti]], axis=-1)
-    e1 = jnp.stack([g[3][ti], g[4][ti], g[5][ti]], axis=-1)
-    e2 = jnp.stack([g[6][ti], g[7][ti], g[8][ti]], axis=-1)
+    rows = tris["shade_rows"][jnp.maximum(hit.tri, 0)]  # (R, 32)
+    p0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    n0, n1, n2 = rows[:, 9:12], rows[:, 12:15], rows[:, 15:18]
+    uv0, uv1, uv2 = rows[:, 18:20], rows[:, 20:22], rows[:, 22:24]
 
     p_obj = p0 + u * e1 + v * e2
-    point = _affine_point(instances["fwd_T"], ii, p_obj)
+    point = _affine_point_rows(irow[:, 0:12], p_obj)
 
-    geom_n = _affine_normal(instances["inv_T"], ii, jnp.cross(e1, e2))
-    nt = tris["n_T"]
-    n0 = jnp.stack([nt[0][ti], nt[1][ti], nt[2][ti]], axis=-1)
-    n1 = jnp.stack([nt[3][ti], nt[4][ti], nt[5][ti]], axis=-1)
-    n2 = jnp.stack([nt[6][ti], nt[7][ti], nt[8][ti]], axis=-1)
-    shading_n = _affine_normal(instances["inv_T"], ii, (1.0 - u - v) * n0 + u * n1 + v * n2)
-    ut = tris["uv_T"]
-    uv0 = jnp.stack([ut[0][ti], ut[1][ti]], axis=-1)
-    uv1 = jnp.stack([ut[2][ti], ut[3][ti]], axis=-1)
-    uv2 = jnp.stack([ut[4][ti], ut[5][ti]], axis=-1)
+    geom_n = _affine_normal_rows(irow[:, 12:24], jnp.cross(e1, e2))
+    shading_n = _affine_normal_rows(irow[:, 12:24],
+                                    (1.0 - u - v) * n0 + u * n1 + v * n2)
     uv = (1.0 - u - v) * uv0 + u * uv1 + v * uv2
     return point, geom_n, shading_n, uv, p_obj, e1, e2
 
@@ -121,14 +147,15 @@ def _interpolate_hit(tris, instances, hit):
                    static_argnames=("config", "width", "seed", "has_lights",
                                     "with_stats", "has_textures", "with_aovs",
                                     "has_media", "use_pallas",
-                                    "use_pallas_shade", "use_wide"))
+                                    "use_pallas_shade", "use_wide",
+                                    "mat_types"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
                 has_media: bool = False, use_pallas: bool = False,
                 use_pallas_shade: bool = False, use_wide: bool = False,
-                valid_mask=None):
+                valid_mask=None, mat_types=None):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -329,11 +356,17 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
         # ---- material fetch (instance material wins, like the reference's
         # per-mesh material id, Raytracing/Mesh.h) ----
+        from gpu_raytracer_tpu.ops.vec import fetch_rows
+
         ti = jnp.maximum(hit.tri, 0)
         ii = jnp.maximum(hit.inst, 0)
-        mat_id = instances["material_id"][ii]
-        mat_type = materials["type"][mat_id]
-        emission = jnp.stack([materials["emission_T"][0][mat_id], materials["emission_T"][1][mat_id], materials["emission_T"][2][mat_id]], axis=-1)
+        # One wide-row fetch per table per bounce (ops/vec.py fetch_rows)
+        # instead of dozens of per-column gathers.
+        irow = fetch_rows(instances["rows"], ii)        # fwd|inv|mat_id
+        mat_id = irow[:, 24].astype(jnp.int32)
+        mrow = fetch_rows(materials["rows"], mat_id)    # type|em|diff|...
+        mat_type = mrow[:, 0].astype(jnp.int32)
+        emission = mrow[:, 1:4]
 
         if with_aovs:
             # Primary-hit G-buffer for EVERY surface hit including emissive
@@ -347,9 +380,11 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # ---- emissive hit (reference: Pathtracer.cu:354-421) ----
         is_light = alive & (mat_type == int(MaterialType.LIGHT))
         if nee_possible:
-            # World-space geometric light normal for the solid-angle pdf.
-            light_gn = _affine_normal(
-                instances["inv_T"], ii, jnp.cross(tris["e1"][ti], tris["e2"][ti]))
+            # World-space geometric light normal for the solid-angle pdf
+            # (one shade_rows gather; XLA CSEs it with _interpolate_hit's).
+            _r = tris["shade_rows"][ti]
+            light_gn = _affine_normal_rows(
+                irow[:, 12:24], jnp.cross(_r[:, 3:6], _r[:, 6:9]))
             cos_light = jnp.abs(jnp.sum(ray_d * light_gn, axis=-1))
             light_pdf = (luminance(emission) * hit.t * hit.t
                          / jnp.maximum(cos_light * lights["total_weight"], 1e-20))
@@ -384,7 +419,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                    throughput)
 
         # ---- surface shading (reference: Pathtracer.cu shade_material) ----
-        point, geom_n, shading_n, uv, p_obj, e1_obj, e2_obj = _interpolate_hit(tris, instances, hit)
+        point, geom_n, shading_n, uv, p_obj, e1_obj, e2_obj = _interpolate_hit(tris, irow, hit)
         # Two-sided handling: `entering` tracks which side of the surface the
         # ray arrived on (drives dielectric eta); the frame is flipped into
         # the incident hemisphere (reference: Pathtracer.cu:643-650).
@@ -401,23 +436,24 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
         mat = {
             "type": mat_type,
-            "roughness": materials["roughness"][mat_id],
-            "ior": materials["ior"][mat_id],
-            "eta": jnp.stack([materials["eta_T"][0][mat_id], materials["eta_T"][1][mat_id], materials["eta_T"][2][mat_id]], axis=-1),
-            "k": jnp.stack([materials["k_T"][0][mat_id], materials["k_T"][1][mat_id], materials["k_T"][2][mat_id]], axis=-1),
+            "roughness": mrow[:, 7],
+            "ior": mrow[:, 8],
+            "eta": mrow[:, 9:12],
+            "k": mrow[:, 12:15],
         }
-        albedo = jnp.stack([materials["diffuse_T"][0][mat_id], materials["diffuse_T"][1][mat_id], materials["diffuse_T"][2][mat_id]], axis=-1)
+        albedo = mrow[:, 4:7]
         if has_textures and config.enable_mipmapping:
             # Ray-cone texture LOD (reference: RayCone.h + Pathtracer.cu
             # :668-690): ANISOTROPIC ellipse-axis gradients at bounce 0,
             # isotropic cone after (matching the reference's policy).
             cone_width = cone_width + cone_angle * jnp.where(alive, hit.t, 0.0)
-            tex_id = materials["texture"][mat_id]
-            e1w = _affine_dir(instances["fwd_T"], ii, e1_obj)
-            e2w = _affine_dir(instances["fwd_T"], ii, e2_obj)
+            tex_id = mrow[:, 15].astype(jnp.int32)
+            e1w = _affine_dir_rows(irow[:, 0:12], e1_obj)
+            e2w = _affine_dir_rows(irow[:, 0:12], e2_obj)
             double_area_world = jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
-            uv_e1 = tris["uv1"][ti] - tris["uv0"][ti]
-            uv_e2 = tris["uv2"][ti] - tris["uv0"][ti]
+            _r = tris["shade_rows"][ti]
+            uv_e1 = _r[:, 20:22] - _r[:, 18:20]
+            uv_e2 = _r[:, 22:24] - _r[:, 18:20]
             double_area_tex = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1]
                                       - uv_e2[:, 0] * uv_e1[:, 1])
             from gpu_raytracer_tpu.ops.textures import (
@@ -474,7 +510,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         if demodulate:
             fold_albedo = fold_albedo & ~first
         throughput = jnp.where(fold_albedo[:, None], throughput * albedo, throughput)
-        can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"])
+        can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"], mat_types)
 
         if with_aovs:
             # Primary-hit G-buffer (reference: svgf_set_gbuffers SVGF.h:61-81
@@ -486,7 +522,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             aov_position = jnp.where(hit_ok[:, None], point, aov_position)
             # Previous-frame world position for motion vectors (reference:
             # per-mesh transform_prev, Integrator.cpp:422).
-            point_prev = _affine_point(instances["prev_T"], ii, p_obj)
+            point_prev = _affine_point_rows(
+                fetch_rows(instances["prev_rows"], ii), p_obj)
             aov_position_prev = jnp.where(hit_ok[:, None], point_prev, aov_position_prev)
 
         # ---- next-event estimation (reference: Pathtracer.cu:466-555) ----
@@ -499,17 +536,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             lt = lights["tri"][k]
             li = lights["inst"][k]
             lu, lv = sample_triangle_barycentric(u_b1, u_b2)
-            lg = tris["geo_T"]
-            le1 = _affine_dir(instances["fwd_T"], li,
-                              jnp.stack([lg[3][lt], lg[4][lt], lg[5][lt]], -1))
-            le2 = _affine_dir(instances["fwd_T"], li,
-                              jnp.stack([lg[6][lt], lg[7][lt], lg[8][lt]], -1))
-            lp0 = _affine_point(instances["fwd_T"], li,
-                                jnp.stack([lg[0][lt], lg[1][lt], lg[2][lt]], -1))
+            lrow = tris["shade_rows"][lt]  # one row gather for p0|e1|e2
+            lirow = fetch_rows(instances["rows"], li)
+            le1 = _affine_dir_rows(lirow[:, 0:12], lrow[:, 3:6])
+            le2 = _affine_dir_rows(lirow[:, 0:12], lrow[:, 6:9])
+            lp0 = _affine_point_rows(lirow[:, 0:12], lrow[:, 0:3])
             light_point = lp0 + lu[:, None] * le1 + lv[:, None] * le2
             light_gn = normalize(jnp.cross(le1, le2))
-            lm = instances["material_id"][li]
-            light_emission = jnp.stack([materials["emission_T"][0][lm], materials["emission_T"][1][lm], materials["emission_T"][2][lm]], axis=-1)
+            lm = lirow[:, 24].astype(jnp.int32)
+            light_emission = fetch_rows(materials["rows"], lm)[:, 1:4]
 
             shadow_o = _offset_origin(point, light_point - point, geom_n)
             light_point = _offset_origin(light_point, shadow_o - light_point, light_gn)
@@ -520,7 +555,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             cos_light = jnp.abs(jnp.sum(to_light * light_gn, axis=-1))
             omega_o_nee = world_to_local(to_light, tangent, bitangent, shading_n)
             nee_eval = bsdf_lib.bsdf_eval(buffers["luts"], mat, omega_i,
-                                          omega_o_nee, albedo, entering)
+                                          omega_o_nee, albedo, entering,
+                                          mat_types)
             light_pdf = (luminance(light_emission) * dist * dist
                          / jnp.maximum(cos_light * lights["total_weight"], 1e-20))
             pdf_ok = jnp.isfinite(light_pdf) & (light_pdf > 1e-20)
@@ -556,7 +592,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         u_f0, u_f1 = draw2(rng.SampleDimension.BSDF_0, pixel_index, bounce, sample_index)
         u_b0, u_b1 = draw2(rng.SampleDimension.BSDF_1, pixel_index, bounce, sample_index)
         sample = bsdf_lib.bsdf_sample(buffers["luts"], mat, omega_i, albedo,
-                                      entering, u_f0, u_f1, u_b0, u_b1)
+                                      entering, u_f0, u_f1, u_b0, u_b1,
+                                      mat_types)
         alive = alive & sample.valid
         throughput = jnp.where(alive[:, None],
                                throughput * sample.throughput_mul, throughput)
@@ -569,7 +606,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         if has_media:
             # Medium transitions on dielectric transmission (reference:
             # BSDF.h dielectric sample medium_id update).
-            mat_medium = materials["medium"][mat_id]
+            mat_medium = mrow[:, 16].astype(jnp.int32)
             medium_id = jnp.where(alive & sample.is_transmission,
                                   jnp.where(entering, mat_medium, -1), medium_id)
             # Merge scattered lanes back into the wavefront.
@@ -665,6 +702,12 @@ class Pathtracer:
             self.scene, self.cpu_config.sah_cost_node, self.cpu_config.sah_cost_leaf)
         self.accumulator = jnp.zeros((self.width * self.height, 3), jnp.float32)
         self.invalidated.clear()
+
+    @property
+    def mat_types(self) -> tuple:
+        """Static tuple of MaterialType ints present in the scene: lobes for
+        absent types compile away in bsdf dispatch (ops/bsdf.py)."""
+        return tuple(sorted({int(m.type) for m in self.scene.materials}))
 
     @property
     def use_pallas(self) -> bool:
@@ -763,7 +806,7 @@ class Pathtracer:
                                  use_pallas=self.use_pallas,
                                  use_pallas_shade=self.use_pallas_shade,
                                  use_wide=self.use_wide and not self.use_pallas,
-                                 valid_mask=mask)
+                                 valid_mask=mask, mat_types=self.mat_types)
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
 
@@ -799,7 +842,8 @@ class Pathtracer:
                            has_textures=len(self.scene.textures) > 0,
                            has_media=len(self.scene.mediums) > 0,
                            with_aovs=True, use_pallas=self.use_pallas,
-                           use_wide=self.use_wide and not self.use_pallas)
+                           use_wide=self.use_wide and not self.use_pallas,
+                           mat_types=self.mat_types)
         self.sample_index += 1
 
         def img(x):
@@ -852,7 +896,8 @@ class Pathtracer:
                                has_textures=len(self.scene.textures) > 0,
                                has_media=len(self.scene.mediums) > 0,
                                with_aovs=True, use_pallas=self.use_pallas,
-                           use_wide=self.use_wide and not self.use_pallas)
+                               use_wide=self.use_wide and not self.use_pallas,
+                               mat_types=self.mat_types)
             for k in acc:
                 acc[k] = acc[k] + np.asarray(aovs[k])
         base = os.path.splitext(output_filename)[0]

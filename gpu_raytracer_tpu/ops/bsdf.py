@@ -316,61 +316,85 @@ def conductor_sample(luts, roughness, eta, k, omega_i, u_lobe, u1, u2) -> BSDFSa
 # Dispatch: compute-all-and-select over the material type key
 # ---------------------------------------------------------------------------
 
-def allow_nee(mat_type, roughness):
+def allow_nee(mat_type, roughness, mat_types=None):
     """Whether NEE can sample this BSDF (specular cutoff ROUGHNESS_CUTOFF;
     reference: BSDF.h allow_nee + Material.h:5)."""
+    if mat_types is not None and not ({int(MaterialType.DIELECTRIC),
+                                      int(MaterialType.CONDUCTOR)}
+                                     & set(mat_types)):
+        return jnp.ones(mat_type.shape, bool)
     smooth = roughness < ROUGHNESS_CUTOFF
     specularish = ((mat_type == int(MaterialType.DIELECTRIC))
                    | (mat_type == int(MaterialType.CONDUCTOR)))
     return ~(specularish & smooth)
 
 
-def bsdf_eval(luts, mat, omega_i, omega_o, albedo, entering) -> BSDFEval:
-    d = diffuse_eval(omega_i, omega_o)
-    p = plastic_eval(omega_i, omega_o, albedo, mat["roughness"])
-    g = dielectric_eval(luts, mat["ior"], mat["roughness"], omega_i, omega_o, entering)
-    c = conductor_eval(luts, mat["roughness"], mat["eta"], mat["k"], omega_i, omega_o)
-    t = mat["type"]
+def _has(mat_types, mt) -> bool:
+    return mat_types is None or int(mt) in mat_types
 
-    def sel(fd, fp, fg, fc, vec=False):
-        tt = t[:, None] if vec else t
-        out = jnp.where(tt == int(MaterialType.PLASTIC), fp, fd)
-        out = jnp.where(tt == int(MaterialType.DIELECTRIC), fg, out)
-        out = jnp.where(tt == int(MaterialType.CONDUCTOR), fc, out)
-        return out
+
+def bsdf_eval(luts, mat, omega_i, omega_o, albedo, entering,
+              mat_types=None) -> BSDFEval:
+    """`mat_types`: optional static tuple of MaterialType ints present in the
+    scene. Lobes for absent types are never built — on an all-diffuse scene
+    (Sponza) this strips the Kulla-Conty LUT gathers and microfacet math of
+    the other three lobes from the compiled program (the TPU analog of the
+    reference's per-material kernels being launched only for non-empty
+    queues, Pathtracer.cu:426-462)."""
+    d = diffuse_eval(omega_i, omega_o)
+    t = mat["type"]
 
     # Diffuse eval excludes albedo: the path throughput already folded it in
     # at the hit (reference calc_albedo), while plastic's diffuse lobe owns
     # its albedo internally.
-    value = sel(d.value, p.value, g.value, c.value, vec=True)
-    pdf = sel(d.pdf, p.pdf, g.pdf, c.pdf)
-    valid = sel(d.valid, p.valid, g.valid, c.valid)
+    p = (plastic_eval(omega_i, omega_o, albedo, mat["roughness"])
+         if _has(mat_types, MaterialType.PLASTIC) else None)
+    g = (dielectric_eval(luts, mat["ior"], mat["roughness"], omega_i, omega_o,
+                         entering)
+         if _has(mat_types, MaterialType.DIELECTRIC) else None)
+    c = (conductor_eval(luts, mat["roughness"], mat["eta"], mat["k"], omega_i,
+                        omega_o)
+         if _has(mat_types, MaterialType.CONDUCTOR) else None)
+
+    value, pdf, valid = d.value, d.pdf, d.valid
+    for mt, lobe in ((MaterialType.PLASTIC, p), (MaterialType.DIELECTRIC, g),
+                     (MaterialType.CONDUCTOR, c)):
+        if lobe is None:
+            continue
+        m = t == int(mt)
+        value = jnp.where(m[:, None], lobe.value, value)
+        pdf = jnp.where(m, lobe.pdf, pdf)
+        valid = jnp.where(m, lobe.valid, valid)
     return BSDFEval(value, pdf, valid)
 
 
 def bsdf_sample(luts, mat, omega_i, albedo, entering,
-                u_f0, u_f1, u_b0, u_b1) -> BSDFSample:
+                u_f0, u_f1, u_b0, u_b1, mat_types=None) -> BSDFSample:
     d = diffuse_sample(omega_i, u_b0, u_b1)
-    p = plastic_sample(omega_i, albedo, mat["roughness"], u_f0, u_b0, u_b1)
-    g = dielectric_sample(luts, mat["ior"], mat["roughness"], omega_i, entering,
-                          u_f0, u_f1, u_b0, u_b1)
-    c = conductor_sample(luts, mat["roughness"], mat["eta"], mat["k"], omega_i,
-                         u_f0, u_b0, u_b1)
+    p = (plastic_sample(omega_i, albedo, mat["roughness"], u_f0, u_b0, u_b1)
+         if _has(mat_types, MaterialType.PLASTIC) else None)
+    g = (dielectric_sample(luts, mat["ior"], mat["roughness"], omega_i,
+                           entering, u_f0, u_f1, u_b0, u_b1)
+         if _has(mat_types, MaterialType.DIELECTRIC) else None)
+    c = (conductor_sample(luts, mat["roughness"], mat["eta"], mat["k"],
+                          omega_i, u_f0, u_b0, u_b1)
+         if _has(mat_types, MaterialType.CONDUCTOR) else None)
     t = mat["type"]
 
-    def sel(fd, fp, fg, fc, vec=False):
-        tt = t[:, None] if vec else t
-        out = jnp.where(tt == int(MaterialType.PLASTIC), fp, fd)
-        out = jnp.where(tt == int(MaterialType.DIELECTRIC), fg, out)
-        out = jnp.where(tt == int(MaterialType.CONDUCTOR), fc, out)
-        return out
-
-    return BSDFSample(
-        omega_o=sel(d.omega_o, p.omega_o, g.omega_o, c.omega_o, vec=True),
-        pdf=sel(d.pdf, p.pdf, g.pdf, c.pdf),
-        throughput_mul=sel(d.throughput_mul, p.throughput_mul,
-                           g.throughput_mul, c.throughput_mul, vec=True),
-        valid=sel(d.valid, p.valid, g.valid, c.valid),
-        is_transmission=sel(d.is_transmission, p.is_transmission,
-                            g.is_transmission, c.is_transmission),
-    )
+    out = d
+    for mt, lobe in ((MaterialType.PLASTIC, p), (MaterialType.DIELECTRIC, g),
+                     (MaterialType.CONDUCTOR, c)):
+        if lobe is None:
+            continue
+        m = t == int(mt)
+        mv = m[:, None]
+        out = BSDFSample(
+            omega_o=jnp.where(mv, lobe.omega_o, out.omega_o),
+            pdf=jnp.where(m, lobe.pdf, out.pdf),
+            throughput_mul=jnp.where(mv, lobe.throughput_mul,
+                                     out.throughput_mul),
+            valid=jnp.where(m, lobe.valid, out.valid),
+            is_transmission=jnp.where(m, lobe.is_transmission,
+                                      out.is_transmission),
+        )
+    return out

@@ -64,6 +64,15 @@ def pack_materials(scene: Scene) -> dict:
         out["medium"][i] = m.medium_id
         out["texture"][i] = m.texture_id
     packed = {k: jnp.asarray(v) for k, v in out.items()}
+    # (M, 24) shading rows [type | emission 3 | diffuse 3 | rough | ior |
+    # eta 3 | k 3 | texture | medium | pad]: one fetch_rows per bounce
+    # replaces ~16 per-column gathers.
+    packed["rows"] = jnp.asarray(np.concatenate(
+        [out["type"][:, None].astype(np.float32), out["emission"],
+         out["diffuse"], out["roughness"][:, None], out["ior"][:, None],
+         out["eta"], out["k"], out["texture"][:, None].astype(np.float32),
+         out["medium"][:, None].astype(np.float32),
+         np.zeros((M, 7), np.float32)], axis=-1))
     # Component-major (3, M) copies: the shading path gathers per-ray
     # material vectors as 3 scalar row gathers (row gathers of (M, 3)
     # relayout the minor dim per ray — measured megacycles on TPU).
@@ -231,6 +240,14 @@ def _pack_instances(scene: Scene, geo: GeometryCache):
         "prev_T": jnp.asarray(transform_prev.reshape(I, 12).T.copy()),
         "material_id": jnp.asarray(material_id),
         "blas_root": jnp.asarray(blas_root),
+        # (I, 32) shading rows [fwd 12 | inv 12 | material_id | pad]: one
+        # fetch_rows per bounce replaces ~25 per-column gathers (ops/vec.py
+        # fetch_rows rationale).
+        "rows": jnp.asarray(np.concatenate(
+            [transform.reshape(I, 12), transform_inv.reshape(I, 12),
+             material_id[:, None].astype(np.float32),
+             np.zeros((I, 7), np.float32)], axis=-1)),
+        "prev_rows": jnp.asarray(transform_prev.reshape(I, 12)),
     }
 
 
@@ -371,6 +388,17 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
             "uv_T": jnp.asarray(np.concatenate(
                 [tris_leaf.uvs[:, 0], tris_leaf.uvs[:, 1],
                  tris_leaf.uvs[:, 2]], axis=-1).astype(np.float32).T.copy()),
+            # Row-major (T, 32) hit-shading rows [p0|e1|e2|n0|n1|n2|uv0..2|
+            # pad]: XLA gathers on the TPU are HBM-latency-bound per START
+            # (~50 ns x R lanes regardless of row width), so ONE 128-byte
+            # row gather replaces the 24 per-column gathers the shading
+            # stage would otherwise issue — measured 8x cheaper on Sponza.
+            "shade_rows": jnp.asarray(np.concatenate(
+                [packed_tris,
+                 tris_leaf.normals.reshape(len(packed_tris), 9),
+                 tris_leaf.uvs.reshape(len(packed_tris), 6),
+                 np.zeros((len(packed_tris), 8), np.float32)],
+                axis=-1).astype(np.float32)),
         },
         "instances": _pack_instances(scene, geo),
         "materials": materials,

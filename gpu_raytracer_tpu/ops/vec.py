@@ -74,3 +74,19 @@ def affine12_dir(cols, idx, d):
     return (m[0] * d[0] + m[1] * d[1] + m[2] * d[2],
             m[4] * d[0] + m[5] * d[1] + m[6] * d[2],
             m[8] * d[0] + m[9] * d[1] + m[10] * d[2])
+
+
+def fetch_rows(table, idx):
+    """(N, C) table + (R,) indices -> (R, C) rows.
+
+    TPU gathers are HBM-latency-bound per START, not per byte: one wide-row
+    gather replaces C per-column gathers at ~10x less cost (measured 960x544
+    lanes over a 262k-row table: 24 columns 175 ms vs one (N, 32) row gather
+    16.7 ms). For tiny tables the one-hot MXU matmul is cheaper still
+    (384-row table: 104 / 12.5 / 3.4 ms for columns / row gather / one-hot).
+    """
+    n = table.shape[0]
+    if n <= 1024:
+        oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+        return oh.astype(table.dtype) @ table
+    return table[idx]

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def shard_denoised_step(mesh: Mesh, config, width: int, height: int,
                         seed: int = 0, has_lights: bool = True,
                         has_textures: bool = False,
-                        axis_name: str = "pixels"):
+                        axis_name: str = "pixels", mat_types=None):
     """Returns jitted
     fn(buffers, camera, pixel_index, sample_index, history, vp_prev,
        taa_prev, is_first) -> (colour (H, W, 3), new_history, new_taa_prev)
@@ -40,7 +40,8 @@ def shard_denoised_step(mesh: Mesh, config, width: int, height: int,
              taa_prev, is_first):
         aovs = render_wave(buffers, camera, pixel_index, sample_index,
                            config, width, seed, has_lights,
-                           has_textures=has_textures, with_aovs=True)
+                           has_textures=has_textures, with_aovs=True,
+                           mat_types=mat_types)
 
         def img(x):
             return x.reshape((height, width) + x.shape[1:])

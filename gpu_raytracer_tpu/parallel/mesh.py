@@ -29,7 +29,8 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "pixels") -> 
 
 
 def shard_render_wave(mesh: Mesh, config, width: int, seed: int = 0,
-                      has_lights: bool = True, axis_name: str = "pixels"):
+                      has_lights: bool = True, axis_name: str = "pixels",
+                      mat_types=None):
     """Bind shardings for `render_wave` over `mesh`. Returns
     fn(buffers, camera, pixel_index, sample_index) -> (R, 3) radiance with the
     pixel axis sharded across the mesh."""
@@ -40,7 +41,8 @@ def shard_render_wave(mesh: Mesh, config, width: int, seed: int = 0,
 
     def step(buffers, camera, pixel_index, sample_index):
         return render_wave(buffers, camera, pixel_index, sample_index,
-                           config, width, seed, has_lights)
+                           config, width, seed, has_lights,
+                           mat_types=mat_types)
 
     return jax.jit(
         step,

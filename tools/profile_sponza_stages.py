@@ -37,7 +37,8 @@ pix = jnp.asarray(tile_order(W, H))
 
 def run(tag, config, n=2, **kw):
     kwargs = dict(has_lights=scene.has_lights, with_stats=True,
-                  has_textures=len(scene.textures) > 0, use_wide=True)
+                  has_textures=len(scene.textures) > 0, use_wide=True,
+                  mat_types=tuple(sorted({int(m.type) for m in scene.materials})))
     kwargs.update(kw)
     def f(s):
         return render_wave(buffers, camera, pix, s, config, W, 0, **kwargs)
