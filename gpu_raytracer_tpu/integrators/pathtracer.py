@@ -168,7 +168,11 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     lights = buffers["lights"]
     nee_possible = config.enable_nee and has_lights
 
-    draw2 = rng.make_draw2(buffers.get("sampler"), width, seed, config.sampler)
+    # num_bounces <= 12 keeps every sampler dim inside the 64 PMJ sequences
+    # (dim_total = dim + 5*bounce < 64), so the PMJ pair is wave-constant
+    # and the big seq gathers collapse to scalars (pmj.pmj_random2).
+    draw2 = rng.make_draw2(buffers.get("sampler"), width, seed, config.sampler,
+                           scalar_tables=config.num_bounces <= 12)
     ray_o, ray_d = generate_primary_rays(
         camera, pixel_index, width, sample_index, config.reconstruction_filter,
         seed, draw2=draw2)

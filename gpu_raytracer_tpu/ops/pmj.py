@@ -158,6 +158,13 @@ def load_tables() -> dict:
         # row read replaces a per-lane gather.
         "noise_x_rows": jnp.asarray(nx_rows),
         "noise_y_rows": jnp.asarray(ny_rows),
+        # (T*128*128, 8) padded [nx, ny] rows: ONE row gather per draw2 for
+        # the per-pixel CP rotation instead of two column gathers (TPU
+        # gathers cost HBM latency per start — ops/vec.py fetch_rows).
+        "noise_xy": jnp.asarray(np.concatenate(
+            [noise[:, :, :, 0].reshape(-1, 1), noise[:, :, :, 1].reshape(-1, 1),
+             np.zeros((noise.shape[0] * noise.shape[1] * noise.shape[2], 6),
+                      np.uint8)], axis=-1).astype(np.float32) / 255.0),
     }
 
 
@@ -214,10 +221,15 @@ def _permute(index, length: int, seed):
 
 
 def pmj_random2(tables: dict, dim: int, pixel_index, bounce, sample_index,
-                width: int):
+                width: int, scalar_tables: bool = False):
     """Two stateless low-discrepancy floats per lane, reference semantics
     (Sampling.h:44-84). `dim` is a Python int; `bounce`/`sample_index` may be
-    traced scalars (the bounce loop is a lax.fori_loop)."""
+    traced scalars (the bounce loop is a lax.while_loop).
+
+    `scalar_tables` (static) asserts dim_total < PMJ_NUM_SEQUENCES for every
+    reachable bounce (config.num_bounces <= 12): the PMJ pair then needs no
+    per-lane Kensler permutation, so the two big seq gathers collapse to
+    SCALAR lookups and only the per-pixel CP noise row gather remains."""
     pix = pixel_index.astype(jnp.uint32)
     bounce_u = jnp.asarray(bounce, jnp.uint32)
     h = pcg_hash((pix * jnp.uint32(int(SampleDimension.NUM_DIMENSIONS))
@@ -233,24 +245,35 @@ def pmj_random2(tables: dict, dim: int, pixel_index, bounce, sample_index,
 
     dim_total = (jnp.uint32(dim)
                  + jnp.uint32(int(SampleDimension.NUM_BOUNCE)) * bounce_u)
-    permuted = _permute(jnp.broadcast_to(s_idx, pix.shape),
-                        PMJ_NUM_SAMPLES_PER_SEQUENCE, h)
-    idx = jnp.where(dim_total >= PMJ_NUM_SEQUENCES, permuted,
-                    jnp.broadcast_to(s_idx, pix.shape))
     base = ((dim_total % PMJ_NUM_SEQUENCES)
             * PMJ_NUM_SAMPLES_PER_SEQUENCE).astype(jnp.int32)
-    flat = base + jnp.minimum(idx, PMJ_NUM_SAMPLES_PER_SEQUENCE - 1).astype(jnp.int32)
-    sx = tables["seq_x"][flat]
-    sy = tables["seq_y"][flat]
+    s_cap = jnp.minimum(s_idx, PMJ_NUM_SAMPLES_PER_SEQUENCE - 1).astype(jnp.int32)
+    if scalar_tables:
+        # dim_total < NUM_SEQUENCES statically: the pair index is the same
+        # for every lane -> two scalar gathers + broadcast.
+        flat = base + s_cap
+        sx = jnp.broadcast_to(tables["seq_x"][flat], pix.shape)
+        sy = jnp.broadcast_to(tables["seq_y"][flat], pix.shape)
+    else:
+        permuted = _permute(jnp.broadcast_to(s_idx, pix.shape),
+                            PMJ_NUM_SAMPLES_PER_SEQUENCE, h)
+        idx = jnp.where(dim_total >= PMJ_NUM_SEQUENCES, permuted,
+                        jnp.broadcast_to(s_idx, pix.shape))
+        flat = base + jnp.minimum(
+            idx, PMJ_NUM_SAMPLES_PER_SEQUENCE - 1).astype(jnp.int32)
+        sx = tables["seq_x"][flat]
+        sy = tables["seq_y"][flat]
 
-    # Cranley-Patterson rotation by tiled per-pixel blue noise.
+    # Cranley-Patterson rotation by tiled per-pixel blue noise (one padded
+    # row gather for both channels).
     tex = (dim_total % BLUE_NOISE_NUM_TEXTURES).astype(jnp.int32)
     x = (pixel_index % width) % BLUE_NOISE_TEXTURE_DIM
     y = (pixel_index // width) % BLUE_NOISE_TEXTURE_DIM
     noise_idx = (tex * BLUE_NOISE_TEXTURE_DIM * BLUE_NOISE_TEXTURE_DIM
                  + y * BLUE_NOISE_TEXTURE_DIM + x)
-    sx = sx + tables["noise_x"][noise_idx]
-    sy = sy + tables["noise_y"][noise_idx]
+    nrow = tables["noise_xy"][noise_idx]
+    sx = sx + nrow[:, 0]
+    sy = sy + nrow[:, 1]
     sx = jnp.where(sx >= 1.0, sx - 1.0, sx)
     sy = jnp.where(sy >= 1.0, sy - 1.0, sy)
 

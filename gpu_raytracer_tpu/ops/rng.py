@@ -84,17 +84,20 @@ def random_float2(dim0: int, dim1: int, pixel_index, bounce, sample_index, seed:
             random_float(dim1, pixel_index, bounce, sample_index, seed))
 
 
-def make_draw2(tables, width: int, seed: int, mode: str):
+def make_draw2(tables, width: int, seed: int, mode: str,
+               scalar_tables: bool = False):
     """Factory for the per-wave 2D sample draw: `draw2(dim, pixel_index,
     bounce, sample_index) -> (u1, u2)`. Selects the table-driven
     low-discrepancy path (reference Sampling.h primary path) or the pure
-    hash fallback; the choice is static under jit."""
+    hash fallback; the choice is static under jit. `scalar_tables` is the
+    static num_bounces<=12 hint (see pmj.pmj_random2)."""
     if mode == "pmj" and tables is not None:
         from gpu_raytracer_tpu.ops.pmj import pmj_random2
 
         def draw2(dim, pixel_index, bounce, sample_index):
             return pmj_random2(tables, int(dim), pixel_index, bounce,
-                               sample_index, width)
+                               sample_index, width,
+                               scalar_tables=scalar_tables)
     else:
         def draw2(dim, pixel_index, bounce, sample_index):
             return (random_float(2 * int(dim), pixel_index, bounce, sample_index, seed),

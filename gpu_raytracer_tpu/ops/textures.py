@@ -49,12 +49,29 @@ def pack_texture_pool(mip_chains: List[List[np.ndarray]]):
             widths[t, m] = widths[t, len(chain) - 1]
             heights[t, m] = heights[t, len(chain) - 1]
     pool = np.concatenate(parts, axis=0)
+    # 2x2 neighborhood quad rows: row i holds texel i's wrapped bilinear
+    # footprint [c00|c10|c01|c11] so one row gather replaces the 4 texel
+    # gathers per bilinear tap (TPU gathers cost HBM latency per start —
+    # ops/vec.py fetch_rows rationale). 5.3x the pool bytes, bought back
+    # ~4x fewer gather starts on the texture path.
+    quad_parts = []
+    for chain in mip_chains:
+        for mip in chain[:MAX_MIPS]:
+            sx = np.roll(mip, -1, axis=1)
+            sy = np.roll(mip, -1, axis=0)
+            sxy = np.roll(sy, -1, axis=1)
+            quad = np.concatenate([mip, sx, sy, sxy], axis=-1)
+            quad_parts.append(quad.reshape(-1, 12))
+    pool_quad = np.concatenate(
+        [np.concatenate(quad_parts, axis=0),
+         np.zeros((pool.shape[0], 4), np.uint8)], axis=-1)
     # Base lod bias: log2(max dimension of mip 0), the CUDA texture lod_bias
     # analog (reference: sample_albedo's `textures[id].lod_bias`).
     base_lod = np.log2(np.maximum(np.maximum(widths[:, 0], heights[:, 0]), 1)
                        .astype(np.float32))
     return {
         "pool": jnp.asarray(pool),
+        "pool_quad": jnp.asarray(pool_quad),
         "offset": jnp.asarray(offsets.astype(np.int32)),
         "width": jnp.asarray(widths),
         "height": jnp.asarray(heights),
@@ -96,10 +113,11 @@ def sample_bilinear_lod(textures, texture_id, u, v, lod):
         y0 = jnp.floor(y).astype(jnp.int32)
         fx = (x - x0)[:, None]
         fy = (y - y0)[:, None]
-        c00 = _fetch(textures, off, x0, y0, w, h)
-        c10 = _fetch(textures, off, x0 + 1, y0, w, h)
-        c01 = _fetch(textures, off, x0, y0 + 1, w, h)
-        c11 = _fetch(textures, off, x0 + 1, y0 + 1, w, h)
+        # One quad-row gather covers all 4 wrapped bilinear texels.
+        row = textures["pool_quad"][off + jnp.mod(y0, h) * w + jnp.mod(x0, w)]
+        row = srgb_to_linear(row.astype(jnp.float32) * (1.0 / 255.0))
+        c00, c10 = row[:, 0:3], row[:, 3:6]
+        c01, c11 = row[:, 6:9], row[:, 9:12]
         return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
     return bilinear(l0) * (1 - f) + bilinear(l1) * f
