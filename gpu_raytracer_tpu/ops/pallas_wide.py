@@ -47,7 +47,11 @@ BLOCK = 1024            # rays per tile, shaped (8, 128)
 STACK_DEPTH = 160       # wide depth ~8 levels x 7 pushes + TLAS + headroom
 RESTORE = -1            # stack marker: restore world-space ray
 SHAPE = (8, 128)
-LEAF_CAP = 4   # matches the BVH2 build's LEAF_SIZE; the tri loop unrolls this
+# Max tris per leaf row; the tri loop unrolls this. The merged static path
+# builds its BVH at this leaf size (measured on Sponza bounce rays: cap 8
+# cuts pops ~16% vs 4; 12 is flat) — per-mesh BLAS paths build at
+# LEAF_SIZE=4 and just mask off the extra unrolled tests.
+LEAF_CAP = 8
 
 _DIV_EPS = 1e-12
 _RAY_EPS = 1e-4

@@ -78,6 +78,14 @@ def _check_matches(bufs, o, d, tmax):
     ref = trace_closest_tlas(nodes, tris, insts, o, d, tmax)
     assert bufs.get("wide") is not None
     out = pwd.trace_closest_wide(*bufs["wide"], o, d, tmax, interpret=True)
+    pm = bufs.get("wide_prim_map")
+    if pm is not None:
+        # Flattened static tables (buffers._pack_wide_merged) return prim
+        # ids; unpack (inst, tri) like the integrators do.
+        code = pm[jnp.maximum(out.tri, 0)]
+        ok = out.tri >= 0
+        out = out._replace(tri=jnp.where(ok, code & 0x3FFFFF, out.tri),
+                           inst=jnp.where(ok, code >> 22, out.inst))
 
     rtri, wtri = np.asarray(ref.tri), np.asarray(out.tri)
     hit_r, hit_w = rtri >= 0, wtri >= 0
