@@ -206,9 +206,9 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     medium_id = jnp.full(R, -1, jnp.int32)  # current homogeneous medium
 
     def fast_bounce_body(bounce, carry):
-        """Fused Pallas shade path for diffuse/emissive scenes (no AOVs,
-        media or textures — gated by _pack_pallas_shade). Mirrors the XLA
-        bounce body below; see ops/pallas_shade.py."""
+        """Fused Pallas shade path: full 4-BSDF dispatch in-kernel (no
+        AOVs, media or textures — gated by _pack_pallas_shade). Mirrors
+        the XLA bounce body below; see ops/pallas_shade.py."""
         from gpu_raytracer_tpu.ops.pallas_shade import shade_diffuse_pallas
 
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
@@ -219,7 +219,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                    jnp.where(alive, INF, jnp.float32(0.0)))
 
-        params = jnp.zeros(32, jnp.float32)
+        params = jnp.zeros(48, jnp.float32)
         params = params.at[0].set(bounce.astype(jnp.float32))
         params = params.at[1].set(jnp.float32(config.num_bounces))
         sky_rgb = buffers["sky"][0, 0] * buffers["sky_scale"]
@@ -240,6 +240,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         for site, dim in enumerate((rng.SampleDimension.RUSSIAN_ROULETTE,
                                     rng.SampleDimension.NEE_LIGHT,
                                     rng.SampleDimension.NEE_TRIANGLE,
+                                    rng.SampleDimension.BSDF_0,
                                     rng.SampleDimension.BSDF_1)):
             dim_total = (jnp.uint32(int(dim))
                          + jnp.uint32(int(rng.SampleDimension.NUM_BOUNCE))
@@ -733,8 +734,8 @@ class Pathtracer:
 
     @property
     def use_pallas_shade(self) -> bool:
-        """The fused shade megakernel runs for diffuse/emissive scenes on
-        TPU when not rendering AOVs (ops/pallas_shade.py gate). The
+        """The fused shade megakernel runs for all-BSDF untextured scenes
+        on TPU when not rendering AOVs (ops/pallas_shade.py gate). The
         in-kernel sampler additionally needs 32-aligned film dims (ray
         blocks must sit inside one 32x32 screen tile for the blue-noise
         row trick), the PMJ sampler, and bounce depths whose sampler dims

@@ -544,8 +544,8 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
 
 
 def _pack_pallas_shade(buffers: dict, scene: Scene):
-    """SMEM tables for the diffuse-scene shade megakernel, or None when the
-    scene falls outside its gate (ops/pallas_shade.py)."""
+    """SMEM tables for the fused full-BSDF shade megakernel, or None when
+    the scene falls outside its gate (ops/pallas_shade.py)."""
     from gpu_raytracer_tpu.ops import pallas_shade as psh
 
     if buffers.get("pallas") is None:
@@ -576,12 +576,20 @@ def _pack_pallas_shade(buffers: dict, scene: Scene):
     mat_tbl[0] = np.asarray(mats["type"], np.float32)
     mat_tbl[1:4] = np.asarray(mats["emission_T"])
     mat_tbl[4:7] = np.asarray(mats["diffuse_T"])
+    mat_tbl[7] = np.asarray(mats["roughness"])
+    mat_tbl[8] = np.asarray(mats["ior"])
+    mat_tbl[9:12] = np.asarray(mats["eta_T"])
+    mat_tbl[12:15] = np.asarray(mats["k_T"])
+    from gpu_raytracer_tpu.ops.kulla_conty import bake_material_curves
+
+    kc_tbl = bake_material_curves(buffers["luts"], mats)
     lgt_tbl = np.zeros((16, l), np.float32)
     lgt_tbl[0] = np.asarray(lights["cdf"])
     lgt_tbl[1] = np.asarray(lights["tri"], np.float32)
     lgt_tbl[2] = np.asarray(lights["inst"], np.float32)
     return (tri_geo, jnp.asarray(tri_nrm), jnp.asarray(inst_a),
-            jnp.asarray(inst_b), jnp.asarray(mat_tbl), jnp.asarray(lgt_tbl))
+            jnp.asarray(inst_b), jnp.asarray(mat_tbl), jnp.asarray(kc_tbl),
+            jnp.asarray(lgt_tbl))
 
 
 def _pack_pallas(buffers: dict):

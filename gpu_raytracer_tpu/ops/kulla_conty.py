@@ -287,3 +287,71 @@ def multiscatter_lobe(E_i, E_o, E_avg):
 def dielectric_reciprocity_factor(E_avg_enter, E_avg_leave):
     """reference: KullaConty.h:51-66."""
     return (1.0 - E_avg_leave) / jnp.maximum(1e-4, 2.0 - E_avg_enter - E_avg_leave)
+
+
+def bake_material_curves(luts, mats: dict) -> "np.ndarray":
+    """Per-MATERIAL Kulla-Conty shading constants for the fused Pallas shade
+    kernel (ops/pallas_shade.py): each material's (ior, roughness) is fixed,
+    so the directional-albedo LUT slices reduce to 1D cos curves — fitted
+    here as degree-7 polynomials of |cos| so the kernel evaluates them with
+    8 FMAs and ZERO gathers. The fit targets the same trilinear LUT
+    interpolation the XLA path uses (max fit error ~1e-3 on the smooth
+    albedo curves).
+
+    Layout (32, M) f32:
+      [0:8]   dielectric E_enter(cos) poly (Horner, c7..c0)
+      [8:16]  dielectric E_leave(cos) poly
+      [16:24] conductor  E(cos) poly
+      [24]    E_avg_enter     [25] E_avg_leave
+      [26]    ratio_enter     [27] ratio_leave   (KC lobe-pick ratios)
+      [28:31] conductor F_ms rgb                 [31] conductor E_avg
+    """
+    from gpu_raytracer_tpu.ops.microfacet import (
+        average_fresnel_conductor,
+        average_fresnel_dielectric,
+    )
+
+    M = int(np.asarray(mats["type"]).shape[0])
+    ior = np.asarray(mats["ior"], np.float32)
+    rough = np.asarray(mats["roughness"], np.float32)
+    eta = np.asarray(mats["eta"], np.float32)
+    k = np.asarray(mats["k"], np.float32)
+    out = np.zeros((32, M), np.float32)
+    cos = np.linspace(1e-3, 1.0, 64, dtype=np.float32)
+
+    for m in range(M):
+        i = jnp.full(64, ior[m])
+        r = jnp.full(64, rough[m])
+        e_enter = np.asarray(dielectric_directional_albedo(
+            luts, i, r, jnp.asarray(cos), jnp.ones(64, bool)))
+        e_leave = np.asarray(dielectric_directional_albedo(
+            luts, i, r, jnp.asarray(cos), jnp.zeros(64, bool)))
+        e_con = np.asarray(conductor_directional_albedo(
+            luts, r, jnp.asarray(cos)))
+        out[0:8, m] = np.polyfit(cos, e_enter, 7)
+        out[8:16, m] = np.polyfit(cos, e_leave, 7)
+        out[16:24, m] = np.polyfit(cos, e_con, 7)
+
+        e_avg_en = float(dielectric_albedo(luts, jnp.float32(ior[m]),
+                                           jnp.float32(rough[m]),
+                                           jnp.asarray(True)))
+        e_avg_lv = float(dielectric_albedo(luts, jnp.float32(ior[m]),
+                                           jnp.float32(rough[m]),
+                                           jnp.asarray(False)))
+        out[24, m] = e_avg_en
+        out[25, m] = e_avg_lv
+        x = float(dielectric_reciprocity_factor(np.float32(e_avg_en),
+                                                np.float32(e_avg_lv)))
+        f_avg = float(average_fresnel_dielectric(ior[m]))
+        f_avg_lv = 1.0 - (1.0 - f_avg) / max(ior[m] * ior[m], 1e-8)
+        out[26, m] = x * (1.0 - f_avg)
+        out[27, m] = (1.0 - x) * (1.0 - f_avg_lv)
+
+        e_avg_con = float(conductor_albedo(luts, jnp.float32(rough[m])))
+        f_avg_con = np.asarray(average_fresnel_conductor(
+            jnp.asarray(eta[m][None]), jnp.asarray(k[m][None])))[0]
+        f_ms = f_avg_con * f_avg_con * e_avg_con / np.maximum(
+            1.0 - f_avg_con * (1.0 - e_avg_con), 1e-6)
+        out[28:31, m] = f_ms
+        out[31, m] = e_avg_con
+    return out

@@ -9,9 +9,13 @@ shadow-ray setup, cosine BSDF sample) into one Mosaic program, mirroring the
 reference's material kernel (Src/CUDA/Pathtracer.cu:465-773 shade_material +
 220-463 kernel_sort) but for the diffuse+light material subset.
 
-Scope gate (`supports_shade`): every material is DIFFUSE or LIGHT, no
-textures/media/AOVs, constant (1x1) sky — exactly the Cornell-class scenes.
-Everything else keeps the XLA shading path.
+Scope gate (`supports_shade`): ALL five material types run fused —
+diffuse, plastic, rough dielectric and rough conductor evaluate in-kernel
+with compute-all-select dispatch, GGX/VNDF sampling and per-material
+Kulla-Conty polynomial curves (kulla_conty.bake_material_curves replaces
+the XLA path's trilinear LUT taps; fit error ~1e-2 on the smooth albedo
+curves). Excluded: textures/media/AOVs and non-constant skies — those
+scenes keep the XLA shading path.
 
 The low-discrepancy sampler runs IN-KERNEL (reference does all sampling
 in-kernel too, Sampling.h:44-84): the PMJ pair for a (dim, bounce, sample)
@@ -27,7 +31,9 @@ Table layouts (packed by ops/buffers.py `_pack_pallas_shade`):
   tri_nrm (16, T): [0:9]  n0|n1|n2 (object space)
   inst_a  (16, I): [0:12] forward transform rows, [12] material_id
   inst_b  (16, I): [0:12] inverse transform rows
-  mat_tbl (16, M): [0] type, [1:4] emission, [4:7] diffuse
+  mat_tbl (16, M): [0] type, [1:4] emission, [4:7] diffuse, [7] roughness,
+                   [8] ior, [9:12] eta, [12:15] k
+  kc_tbl  (32, M): per-material Kulla-Conty curves (bake_material_curves)
   lgt_tbl (16, L): [0] cdf, [1] light tri id, [2] light instance id
   params  (32, 1): [0] bounce, [1] num_bounces, [2:5] sky rgb (scale folded),
                    [5] lights total_weight, [6] sample_index;
@@ -56,6 +62,17 @@ from gpu_raytracer_tpu.scene.types import MaterialType  # noqa: E402
 
 _MAT_LIGHT = int(MaterialType.LIGHT)
 _MAT_DIFFUSE = int(MaterialType.DIFFUSE)
+_MAT_PLASTIC = int(MaterialType.PLASTIC)
+_MAT_DIELECTRIC = int(MaterialType.DIELECTRIC)
+_MAT_CONDUCTOR = int(MaterialType.CONDUCTOR)
+
+from gpu_raytracer_tpu.scene.types import ROUGHNESS_CUTOFF  # noqa: E402
+
+_ROUGH_CUTOFF = float(ROUGHNESS_CUTOFF)
+_PLASTIC_IOR = 1.5                      # reference: BSDF.h:83-84
+_PLASTIC_ETA = 1.0 / _PLASTIC_IOR
+_F_AVG_PLASTIC = (_PLASTIC_IOR - 1.0) / (4.08567 + 1.00071 * _PLASTIC_IOR)
+_PLASTIC_INTERNAL = 1.0 - (1.0 - _F_AVG_PLASTIC) * _PLASTIC_ETA * _PLASTIC_ETA
 
 # SMEM budget shared with the traversal tables (see pallas_traverse).
 MAX_SHADE_TABLE_BYTES = 600_000
@@ -69,7 +86,8 @@ def supports_shade(mat_types, num_tris: int, num_instances: int,
                    num_lights: int, has_textures: bool, has_media: bool,
                    sky_shape) -> bool:
     types = set(int(t) for t in np.asarray(mat_types))
-    if not types.issubset({_MAT_LIGHT, _MAT_DIFFUSE}):
+    if not types.issubset({_MAT_LIGHT, _MAT_DIFFUSE, _MAT_PLASTIC,
+                           _MAT_DIELECTRIC, _MAT_CONDUCTOR}):
         return False
     if has_textures or has_media:
         return False
@@ -192,9 +210,207 @@ def _draw2_kernel(params_ref, noise_x, noise_y, tile_row, pix_u, site: int,
     return jnp.where(use_tab, u, fx), jnp.where(use_tab, v, fy)
 
 
+# ---------------------------------------------------------------------------
+# Scalarized microfacet + Kulla-Conty machinery (ports of ops/microfacet.py
+# and ops/bsdf.py onto (8, 128) component tuples; reference:
+# Src/CUDA/Material.h:145-222, BSDF.h:8-525). Per-material Kulla-Conty
+# directional-albedo curves arrive as degree-7 polynomial coefficients
+# (kulla_conty.bake_material_curves) so every lookup is 8 FMAs, no gathers.
+# ---------------------------------------------------------------------------
+
+def _sqrt_s(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def _poly8(c, x):
+    """Horner over 8 coefficients, c[0] = highest degree (np.polyfit)."""
+    acc = c[0]
+    for k in range(1, 8):
+        acc = acc * x + c[k]
+    return acc
+
+
+def _fres_diel(cos_i, eta):
+    s2 = eta * eta * (1.0 - cos_i * cos_i)
+    tir = s2 >= 1.0
+    cos_o = _sqrt_s(1.0 - s2)
+    pp = (eta * cos_i - cos_o) / jnp.maximum(eta * cos_i + cos_o, 1e-8)
+    ss = (cos_i - eta * cos_o) / jnp.maximum(cos_i + eta * cos_o, 1e-8)
+    return jnp.where(tir, 1.0, 0.5 * (pp * pp + ss * ss))
+
+
+def _fres_cond1(c, e, k):
+    c2 = c * c
+    s2 = 1.0 - c2
+    inner = e * e - k * k - s2
+    a2b2 = _sqrt_s(inner * inner + 4.0 * k * k * e * e)
+    a = _sqrt_s(0.5 * (a2b2 + inner))
+    ts = (a2b2 + c2 - 2.0 * a * c) / jnp.maximum(a2b2 + c2 + 2.0 * a * c, 1e-8)
+    tp = ((a2b2 * c2 + s2 * s2 - 2.0 * a * c * s2)
+          / jnp.maximum(a2b2 * c2 + s2 * s2 + 2.0 * a * c * s2, 1e-8)) * ts
+    return 0.5 * (tp + ts)
+
+
+def _ggx_D(mx, my, mz, alpha):
+    valid = mz >= 1e-6
+    zs = jnp.where(valid, mz, 1.0)
+    sx = -mx / (zs * alpha)
+    sy = -my / (zs * alpha)
+    sl = 1.0 + sx * sx + sy * sy
+    cos4 = zs * zs * zs * zs
+    return jnp.where(valid, 1.0 / (sl * sl * _PI * alpha * alpha * cos4), 0.0)
+
+
+def _ggx_lambda(x, y, z, alpha):
+    z2 = jnp.maximum(z * z, 1e-8)
+    t = (alpha * alpha) * (x * x + y * y) / z2
+    return 0.5 * (jnp.sqrt(1.0 + t) - 1.0)
+
+
+def _ggx_G1(x, y, z, alpha):
+    return 1.0 / (1.0 + _ggx_lambda(x, y, z, alpha))
+
+
+def _ggx_G2(ox, oy, oz, ix, iy, iz, mx, my, mz, alpha):
+    i_back = (ix * mx + iy * my + iz * mz) * iz <= 0.0
+    o_back = (ox * mx + oy * my + oz * mz) * oz <= 0.0
+    g = 1.0 / (1.0 + _ggx_lambda(ox, oy, oz, alpha)
+               + _ggx_lambda(ix, iy, iz, alpha))
+    return jnp.where(i_back | o_back, 0.0, g)
+
+
+def _norm3t(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-16))
+    return x * inv, y * inv, z * inv
+
+
+def _halfway(ix, iy, iz, ox, oy, oz):
+    return _norm3t(ix + ox, iy + oy, iz + oz)
+
+
+def _vndf_sample(ix, iy, iz, alpha, u1, u2):
+    """Heitz 2018 visible-normal sampling (Sampling.h:159-178)."""
+    vx, vy, vz = _norm3t(alpha * ix, alpha * iy, iz)
+    len2 = vx * vx + vy * vy
+    il = jax.lax.rsqrt(jnp.maximum(len2, 1e-8))
+    use = len2 > 1e-8
+    a1x = jnp.where(use, -vy * il, 1.0)
+    a1y = jnp.where(use, vx * il, 0.0)
+    # axis2 = cross(v, axis1) with a1z = 0
+    a2x = -vz * a1y
+    a2y = vz * a1x
+    a2z = vx * a1y - vy * a1x
+    t1x, t1y = _sample_disk(u1, u2)
+    h = 0.5 + 0.5 * vz
+    t2 = (1.0 - h) * _sqrt_s(1.0 - t1x * t1x) + h * t1y
+    t3 = _sqrt_s(1.0 - t1x * t1x - t2 * t2)
+    nx = t1x * a1x + t2 * a2x + t3 * vx
+    ny = t1x * a1y + t2 * a2y + t3 * vy
+    nz = t2 * a2z + t3 * vz
+    return _norm3t(alpha * nx, alpha * ny, jnp.maximum(nz, 0.0))
+
+
+def _reflect(ix, iy, iz, mx, my, mz):
+    d = 2.0 * (ix * mx + iy * my + iz * mz)
+    return d * mx - ix, d * my - iy, d * mz - iz
+
+
+def _refract(ix, iy, iz, mx, my, mz, eta):
+    cos_t = ix * mx + iy * my + iz * mz
+    k = 1.0 - eta * eta * (1.0 - cos_t * cos_t)
+    a = eta * cos_t - _sqrt_s(k)
+    return a * mx - eta * ix, a * my - eta * iy, a * mz - eta * iz
+
+
+def _ms_lobe(E_i, E_o, E_avg):
+    return ((1.0 - E_i) * (1.0 - E_o)
+            / jnp.maximum(1e-4, _PI * (1.0 - E_avg)))
+
+
+def _pdf_ok(pdf):
+    return jnp.isfinite(pdf) & (pdf > 1e-8)
+
+
+def _plastic_at(ix, iy, iz, ox, oy, oz, mx, my, mz, alpha, al):
+    """Plastic lobe terms at (omega_o, omega_m) (BSDF.h:67-190). Returns
+    (value_rgb, pdf, F_i)."""
+    al_r, al_g, al_b = al
+    i_dot_m = jnp.abs(ix * mx + iy * my + iz * mz)
+    F = _fres_diel(i_dot_m, _PLASTIC_ETA)
+    D = _ggx_D(mx, my, mz, alpha)
+    G1 = _ggx_G1(ix, iy, iz, alpha)
+    G2 = _ggx_G2(ox, oy, oz, ix, iy, iz, mx, my, mz, alpha)
+    z_i = jnp.maximum(iz, 1e-6)
+    spec = F * G2 * D / (4.0 * z_i)
+    F_i = _fres_diel(iz, _PLASTIC_ETA)
+    F_o = _fres_diel(oz, _PLASTIC_ETA)
+    base = (_PLASTIC_ETA * _PLASTIC_ETA
+            * (1.0 - F_i) * (1.0 - F_o) * oz * (1.0 / _PI))
+    dif_r = base * al_r / (1.0 - al_r * _PLASTIC_INTERNAL)
+    dif_g = base * al_g / (1.0 - al_g * _PLASTIC_INTERNAL)
+    dif_b = base * al_b / (1.0 - al_b * _PLASTIC_INTERNAL)
+    pdf_spec = G1 * D / (4.0 * z_i)
+    pdf_dif = jnp.maximum(oz, 0.0) * (1.0 / _PI)
+    pdf = pdf_dif + F_i * (pdf_spec - pdf_dif)
+    return (spec + dif_r, spec + dif_g, spec + dif_b), pdf, F_i
+
+
+def _dielectric_at(ix, iy, iz, ox, oy, oz, mx, my, mz, reflected, alpha,
+                   eta, E_i, E_o_r, E_o_t, ratio, E_avg_same, E_avg_inv):
+    """Rough-dielectric single+multi lobes at explicit omega_m
+    (BSDF.h:192-403). Returns (value_scalar, pdf)."""
+    i_dot_m = jnp.abs(ix * mx + iy * my + iz * mz)
+    o_dot_m = jnp.abs(ox * mx + oy * my + oz * mz)
+    F = _fres_diel(i_dot_m, eta)
+    D = _ggx_D(mx, my, mz, alpha)
+    G1 = _ggx_G1(ix, iy, iz, alpha)
+    G2 = _ggx_G2(ox, oy, oz, ix, iy, iz, mx, my, mz, alpha)
+    z_i = jnp.maximum(iz, 1e-6)
+    abs_oz = jnp.abs(oz)
+
+    single_r = F * G2 * D / (4.0 * z_i)
+    pdf_single_r = F * G1 * D / (4.0 * z_i)
+    multi_r = (1.0 - ratio) * abs_oz * _ms_lobe(E_i, E_o_r, E_avg_same)
+    pdf_multi_r = (1.0 - ratio) * abs_oz * (1.0 / _PI)
+
+    denom = (eta * i_dot_m + o_dot_m) ** 2
+    single_t = ((1.0 - F) * G2 * D * i_dot_m * o_dot_m
+                / (z_i * jnp.maximum(denom, 1e-12) * eta * eta))
+    pdf_single_t = ((1.0 - F) * G1 * D * i_dot_m * o_dot_m
+                    / (z_i * jnp.maximum(denom, 1e-12)))
+    multi_t = ratio * abs_oz * _ms_lobe(E_i, E_o_t, E_avg_inv)
+    pdf_multi_t = ratio * abs_oz * (1.0 / _PI)
+
+    val = jnp.where(reflected, single_r + multi_r, single_t + multi_t)
+    pdf_single = jnp.where(reflected, pdf_single_r, pdf_single_t)
+    pdf_multi = jnp.where(reflected, pdf_multi_r, pdf_multi_t)
+    pdf = pdf_multi + E_i * (pdf_single - pdf_multi)
+    return val, pdf
+
+
+def _conductor_at(ix, iy, iz, ox, oy, oz, mx, my, mz, alpha,
+                  eta3, k3, E_i, E_o, E_avg, fms3):
+    """Rough-conductor single+multi lobes (BSDF.h:405-525). Returns
+    (value_rgb, pdf, o_dot_m)."""
+    o_dot_m = ox * mx + oy * my + oz * mz
+    D = _ggx_D(mx, my, mz, alpha)
+    G1 = _ggx_G1(ix, iy, iz, alpha)
+    G2 = _ggx_G2(ox, oy, oz, ix, iy, iz, mx, my, mz, alpha)
+    z_i = jnp.maximum(iz, 1e-6)
+    s = G2 * D / (4.0 * z_i)
+    z_o = jnp.maximum(oz, 0.0)
+    ms = _ms_lobe(E_i, E_o, E_avg) * z_o
+    val = tuple(_fres_cond1(o_dot_m, e, k) * s + f * ms
+                for e, k, f in zip(eta3, k3, fms3))
+    pdf_single = G1 * D / (4.0 * z_i)
+    pdf_multi = z_o * (1.0 / _PI)
+    pdf = pdf_multi + E_i * (pdf_single - pdf_multi)
+    return val, pdf, o_dot_m
+
+
 def _kernel(enable_nee, enable_mis, enable_rr,
-            params_ref, tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, lgt_tbl,
-            tile16_ref, noise_x, noise_y,
+            params_ref, tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, kc_tbl,
+            lgt_tbl, tile16_ref, noise_x, noise_y,
             t_ref, tri_ref, inst_ref, u_ref, v_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tpx_ref, tpy_ref, tpz_ref, alive_ref, pnee_ref, lpdf_ref,
@@ -242,7 +458,8 @@ def _kernel(enable_nee, enable_mis, enable_rr,
     r5, _ = draw(0, _SD.RUSSIAN_ROULETTE)
     r0, _ = draw(1, _SD.NEE_LIGHT)
     r1, r2 = draw(2, _SD.NEE_TRIANGLE)
-    r3, r4 = draw(3, _SD.BSDF_1)
+    f0, f1 = draw(3, _SD.BSDF_0)
+    r3, r4 = draw(4, _SD.BSDF_1)
 
     radx = jnp.zeros(SHAPE, jnp.float32)
     rady = jnp.zeros(SHAPE, jnp.float32)
@@ -263,10 +480,15 @@ def _kernel(enable_nee, enable_mis, enable_rr,
     fwd = ia[0:12]
     mat_id = ia[12].astype(jnp.int32)
     inv = _fetch(inst_b, ii, list(range(12)), I, active)
-    mv = _fetch(mat_tbl, mat_id, list(range(7)), M, active)
+    mv = _fetch(mat_tbl, mat_id, list(range(15)), M, active)
     mtype = mv[0].astype(jnp.int32)
     em_r, em_g, em_b = mv[1], mv[2], mv[3]
     al_r, al_g, al_b = mv[4], mv[5], mv[6]
+    rough = mv[7]
+    ior = jnp.maximum(mv[8], 1.0001)
+    eta_r, eta_g, eta_b = mv[9], mv[10], mv[11]
+    kk_r, kk_g, kk_b = mv[12], mv[13], mv[14]
+    kc = _fetch(kc_tbl, mat_id, list(range(32)), kc_tbl.shape[1], active)
 
     # ---- hit geometry (reference Pathtracer.cu:596-650) ----
     g = _fetch(tri_geo, ti, list(range(9)), T, active)
@@ -333,8 +555,28 @@ def _kernel(enable_nee, enable_mis, enable_rr,
     tx, ty, tz = 1.0 + sgn * snx * snx * a, sgn * b, -sgn * snx
     bx, by, bz = b, sgn + sny * sny * a, -sny
     # omega_i = world_to_local(-ray_d)
+    wix = -(dx * tx + dy * ty + dz * tz)
+    wiy = -(dx * bx + dy * by + dz * bz)
     wiz = -(dx * snx + dy * sny + dz * snz)
     active = active & (wiz > 0.0)
+
+    # Per-lane BSDF constants (reference BSDF.h; Kulla-Conty curves are the
+    # per-material polynomial fits, see bake_material_curves).
+    alpha = jnp.maximum(rough * rough, 1e-4)
+    eta_d = jnp.where(entering, 1.0 / ior, ior)
+    E_i_d = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
+                             for k in range(8)], wiz), 0.0, 1.0)
+    ratio_d = jnp.where(entering, kc[26], kc[27])
+    E_avg_same = jnp.where(entering, kc[24], kc[25])
+    E_avg_inv = jnp.where(entering, kc[25], kc[24])
+    E_i_c = jnp.clip(_poly8([kc[16 + k] for k in range(8)], wiz), 0.0, 1.0)
+    E_avg_c = kc[31]
+    fms_r, fms_g, fms_b = kc[28], kc[29], kc[30]
+    is_diffuse = mtype == _MAT_DIFFUSE
+    is_plastic = mtype == _MAT_PLASTIC
+    is_diel = mtype == _MAT_DIELECTRIC
+    is_cond = mtype == _MAT_CONDUCTOR
+    can_nee = ~((is_diel | is_cond) & (rough < _ROUGH_CUTOFF))
 
     # Diffuse folds albedo into throughput at the hit (reference calc_albedo).
     fold = active & (mtype == _MAT_DIFFUSE)
@@ -387,34 +629,217 @@ def _kernel(enable_nee, enable_mis, enable_rr,
         sdx, sdy, sdz = tlx * inv_d, tly * inv_d, tlz * inv_d
 
         cos_light = jnp.abs(sdx * lgnx + sdy * lgny + sdz * lgnz)
-        # Diffuse eval: value = pdf = max(cos_o, 0)/pi (albedo folded above).
-        cos_o = sdx * snx + sdy * sny + sdz * snz
-        val = jnp.maximum(cos_o, 0.0) * (1.0 / _PI)
+        # Local omega_o toward the light + compute-all-select BSDF eval
+        # (ops/bsdf.bsdf_eval semantics; diffuse albedo folded above).
+        lox = sdx * tx + sdy * ty + sdz * tz
+        loy = sdx * bx + sdy * by + sdz * bz
+        loz = sdx * snx + sdy * sny + sdz * snz
+
+        # diffuse
+        val_dif = jnp.maximum(loz, 0.0) * (1.0 / _PI)
+        ev_r, ev_g, ev_b = val_dif, val_dif, val_dif
+        ev_pdf = val_dif
+        ev_ok = loz > 0.0
+        # plastic
+        if True:
+            hmx, hmy, hmz = _halfway(wix, wiy, wiz, lox, loy, loz)
+            (pv_r, pv_g, pv_b), p_pdf, _ = _plastic_at(
+                wix, wiy, wiz, lox, loy, loz, hmx, hmy, hmz, alpha,
+                (al_r, al_g, al_b))
+            ev_r = jnp.where(is_plastic, pv_r, ev_r)
+            ev_g = jnp.where(is_plastic, pv_g, ev_g)
+            ev_b = jnp.where(is_plastic, pv_b, ev_b)
+            ev_pdf = jnp.where(is_plastic, p_pdf, ev_pdf)
+            ev_ok = ((is_plastic & (loz > 0.0) & _pdf_ok(p_pdf))
+                     | (~is_plastic & ev_ok))
+        # dielectric
+        if True:
+            refl = loz >= 0.0
+            tmx = eta_d * wix + lox
+            tmy = eta_d * wiy + loy
+            tmz = eta_d * wiz + loz
+            tmx, tmy, tmz = _norm3t(tmx, tmy, tmz)
+            dmx = jnp.where(refl, hmx, tmx)
+            dmy = jnp.where(refl, hmy, tmy)
+            dmz = jnp.where(refl, hmz, tmz)
+            flip_m = jnp.where(dmz >= 0.0, 1.0, -1.0)
+            dmx, dmy, dmz = dmx * flip_m, dmy * flip_m, dmz * flip_m
+            E_o_r = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
+                                     for k in range(8)], jnp.abs(loz)),
+                             0.0, 1.0)
+            E_o_t = jnp.clip(_poly8([jnp.where(entering, kc[8 + k], kc[k])
+                                     for k in range(8)], jnp.abs(loz)),
+                             0.0, 1.0)
+            dv, d_pdf = _dielectric_at(wix, wiy, wiz, lox, loy, loz,
+                                       dmx, dmy, dmz, refl, alpha, eta_d,
+                                       E_i_d, E_o_r, E_o_t, ratio_d,
+                                       E_avg_same, E_avg_inv)
+            ev_r = jnp.where(is_diel, dv, ev_r)
+            ev_g = jnp.where(is_diel, dv, ev_g)
+            ev_b = jnp.where(is_diel, dv, ev_b)
+            ev_pdf = jnp.where(is_diel, d_pdf, ev_pdf)
+            ev_ok = (is_diel & _pdf_ok(d_pdf)) | (~is_diel & ev_ok)
+        # conductor
+        if True:
+            E_o_c = jnp.clip(_poly8([kc[16 + k] for k in range(8)],
+                                    jnp.abs(loz)), 0.0, 1.0)
+            (cv_r, cv_g, cv_b), c_pdf, c_odm = _conductor_at(
+                wix, wiy, wiz, lox, loy, loz, hmx, hmy, hmz, alpha,
+                (eta_r, eta_g, eta_b), (kk_r, kk_g, kk_b),
+                E_i_c, E_o_c, E_avg_c, (fms_r, fms_g, fms_b))
+            ev_r = jnp.where(is_cond, cv_r, ev_r)
+            ev_g = jnp.where(is_cond, cv_g, ev_g)
+            ev_b = jnp.where(is_cond, cv_b, ev_b)
+            ev_pdf = jnp.where(is_cond, c_pdf, ev_pdf)
+            ev_ok = ((is_cond & (loz > 0.0) & (c_odm > 0.0)
+                      & _pdf_ok(c_pdf)) | (~is_cond & ev_ok))
+
         llum = 0.2126 * lem_r + 0.7152 * lem_g + 0.0722 * lem_b
         light_pdf = (llum * dist * dist
                      / jnp.maximum(cos_light * total_weight, 1e-20))
         lp_ok = jnp.isfinite(light_pdf) & (light_pdf > 1e-20)
         if enable_mis:
             w_nee = (light_pdf * light_pdf
-                     / jnp.maximum(light_pdf * light_pdf + val * val, 1e-20))
+                     / jnp.maximum(light_pdf * light_pdf + ev_pdf * ev_pdf,
+                                   1e-20))
         else:
             w_nee = jnp.ones(SHAPE, jnp.float32)
-        scale = val * w_nee / jnp.maximum(light_pdf, 1e-20)
-        ilx = tpx * lem_r * scale
-        ily = tpy * lem_g * scale
-        ilz = tpz * lem_b * scale
-        want = active & (cos_o > 0.0) & lp_ok & (cos_light > 1e-6)
+        scale = w_nee / jnp.maximum(light_pdf, 1e-20)
+        ilx = tpx * ev_r * lem_r * scale
+        ily = tpy * ev_g * lem_g * scale
+        ilz = tpz * ev_b * lem_b * scale
+        want = active & can_nee & ev_ok & lp_ok & (cos_light > 1e-6)
         stmax = jnp.where(want, dist - 2.0 * _EPS, 0.0)
 
-    # ---- cosine BSDF sample -> continuation ray (Pathtracer.cu:745-756) ----
+    # ---- BSDF sample -> continuation ray (Pathtracer.cu:745-756;
+    # compute-all-select dispatch mirroring ops/bsdf.bsdf_sample) ----
+    # diffuse: cosine hemisphere
     sx, sy = _sample_disk(r3, r4)
     sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - sx * sx - sy * sy))
-    pdf = jnp.maximum(sz, 1e-8) * (1.0 / _PI)
-    valid = jnp.isfinite(pdf) & (pdf > 1e-8)
+    pdf_dif = jnp.maximum(sz, 1e-8) * (1.0 / _PI)
+    ox_s, oy_s, oz_s = sx, sy, sz
+    pdf = pdf_dif
+    mul_r = jnp.ones(SHAPE, jnp.float32)
+    mul_g = jnp.ones(SHAPE, jnp.float32)
+    mul_b = jnp.ones(SHAPE, jnp.float32)
+    valid = _pdf_ok(pdf_dif)
+
+    # one VNDF microfacet shared by the specular lobes (same draws)
+    vmx, vmy, vmz = _vndf_sample(wix, wiy, wiz, alpha, r3, r4)
+
+    # plastic (BSDF.h:122-137)
+    if True:
+        F_i_p = _fres_diel(wiz, _PLASTIC_ETA)
+        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
+        pick = f0 < F_i_p
+        pox = jnp.where(pick, rx, sx)
+        poy = jnp.where(pick, ry, sy)
+        poz = jnp.where(pick, rz, sz)
+        dhx, dhy, dhz = _halfway(wix, wiy, wiz, sx, sy, sz)
+        pmx = jnp.where(pick, vmx, dhx)
+        pmy = jnp.where(pick, vmy, dhy)
+        pmz = jnp.where(pick, vmz, dhz)
+        (pv_r, pv_g, pv_b), p_pdf, _ = _plastic_at(
+            wix, wiy, wiz, pox, poy, poz, pmx, pmy, pmz, alpha,
+            (al_r, al_g, al_b))
+        p_ok = (pmz >= 0.0) & (poz > 0.0) & _pdf_ok(p_pdf)
+        inv_pp = 1.0 / jnp.maximum(p_pdf, 1e-8)
+        ox_s = jnp.where(is_plastic, pox, ox_s)
+        oy_s = jnp.where(is_plastic, poy, oy_s)
+        oz_s = jnp.where(is_plastic, poz, oz_s)
+        pdf = jnp.where(is_plastic, p_pdf, pdf)
+        mul_r = jnp.where(is_plastic, pv_r * inv_pp, mul_r)
+        mul_g = jnp.where(is_plastic, pv_g * inv_pp, mul_g)
+        mul_b = jnp.where(is_plastic, pv_b * inv_pp, mul_b)
+        valid = (is_plastic & p_ok) | (~is_plastic & valid)
+
+    # dielectric (BSDF.h:219-255): single (VNDF+fresnel) vs multi (cosine)
+    is_trans = jnp.zeros(SHAPE, bool)
+    if True:
+        F_s = _fres_diel(jnp.abs(wix * vmx + wiy * vmy + wiz * vmz), eta_d)
+        refl_s = f1 < F_s
+        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
+        tx2, ty2, tz2 = _refract(wix, wiy, wiz, vmx, vmy, vmz, eta_d)
+        s1x = jnp.where(refl_s, rx, tx2)
+        s1y = jnp.where(refl_s, ry, ty2)
+        s1z = jnp.where(refl_s, rz, tz2)
+        # multi branch: cosine lobe, hemisphere by ratio
+        refl_m = f1 > ratio_d
+        moz = sz * jnp.where(refl_m, 1.0, -1.0)
+        mhx, mhy, mhz = _halfway(wix, wiy, wiz, sx, sy, moz)
+        ttx = eta_d * wix + sx
+        tty = eta_d * wiy + sy
+        ttz = eta_d * wiz + moz
+        ttx, tty, ttz = _norm3t(ttx, tty, ttz)
+        mmx = jnp.where(refl_m, mhx, ttx)
+        mmy = jnp.where(refl_m, mhy, tty)
+        mmz = jnp.where(refl_m, mhz, ttz)
+        single = f0 < E_i_d
+        gox = jnp.where(single, s1x, sx)
+        goy = jnp.where(single, s1y, sy)
+        goz = jnp.where(single, s1z, moz)
+        gmx = jnp.where(single, vmx, mmx)
+        gmy = jnp.where(single, vmy, mmy)
+        gmz = jnp.where(single, vmz, mmz)
+        mflip = jnp.where(gmz >= 0.0, 1.0, -1.0)
+        gmx, gmy, gmz = gmx * mflip, gmy * mflip, gmz * mflip
+        refl = (single & refl_s) | (~single & refl_m)
+        E_o_rs = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
+                                  for k in range(8)], jnp.abs(goz)), 0.0, 1.0)
+        E_o_ts = jnp.clip(_poly8([jnp.where(entering, kc[8 + k], kc[k])
+                                  for k in range(8)], jnp.abs(goz)), 0.0, 1.0)
+        dv, d_pdf = _dielectric_at(wix, wiy, wiz, gox, goy, goz,
+                                   gmx, gmy, gmz, refl, alpha, eta_d,
+                                   E_i_d, E_o_rs, E_o_ts, ratio_d,
+                                   E_avg_same, E_avg_inv)
+        hemi_ok = refl == (goz >= 0.0)
+        d_ok = hemi_ok & _pdf_ok(d_pdf)
+        d_mul = dv / jnp.maximum(d_pdf, 1e-8)
+        ox_s = jnp.where(is_diel, gox, ox_s)
+        oy_s = jnp.where(is_diel, goy, oy_s)
+        oz_s = jnp.where(is_diel, goz, oz_s)
+        pdf = jnp.where(is_diel, d_pdf, pdf)
+        mul_r = jnp.where(is_diel, d_mul, mul_r)
+        mul_g = jnp.where(is_diel, d_mul, mul_g)
+        mul_b = jnp.where(is_diel, d_mul, mul_b)
+        valid = (is_diel & d_ok) | (~is_diel & valid)
+        is_trans = is_diel & ~refl
+
+    # conductor (BSDF.h:296-312)
+    if True:
+        single_c = f0 < E_i_c
+        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
+        cox = jnp.where(single_c, rx, sx)
+        coy = jnp.where(single_c, ry, sy)
+        coz = jnp.where(single_c, rz, sz)
+        dhx, dhy, dhz = _halfway(wix, wiy, wiz, sx, sy, sz)
+        cmx = jnp.where(single_c, vmx, dhx)
+        cmy = jnp.where(single_c, vmy, dhy)
+        cmz = jnp.where(single_c, vmz, dhz)
+        E_o_cs = jnp.clip(_poly8([kc[16 + k] for k in range(8)],
+                                 jnp.abs(coz)), 0.0, 1.0)
+        (cv_r, cv_g, cv_b), c_pdf, c_odm = _conductor_at(
+            wix, wiy, wiz, cox, coy, coz, cmx, cmy, cmz, alpha,
+            (eta_r, eta_g, eta_b), (kk_r, kk_g, kk_b),
+            E_i_c, E_o_cs, E_avg_c, (fms_r, fms_g, fms_b))
+        c_ok = (c_odm > 0.0) & (coz >= 0.0) & _pdf_ok(c_pdf)
+        inv_cp = 1.0 / jnp.maximum(c_pdf, 1e-8)
+        ox_s = jnp.where(is_cond, cox, ox_s)
+        oy_s = jnp.where(is_cond, coy, oy_s)
+        oz_s = jnp.where(is_cond, coz, oz_s)
+        pdf = jnp.where(is_cond, c_pdf, pdf)
+        mul_r = jnp.where(is_cond, cv_r * inv_cp, mul_r)
+        mul_g = jnp.where(is_cond, cv_g * inv_cp, mul_g)
+        mul_b = jnp.where(is_cond, cv_b * inv_cp, mul_b)
+        valid = (is_cond & c_ok) | (~is_cond & valid)
+
     active = active & valid
-    ndx = sx * tx + sy * bx + sz * snx
-    ndy = sx * ty + sy * by + sz * sny
-    ndz = sx * tz + sy * bz + sz * snz
+    tpx = jnp.where(active, tpx * mul_r, tpx)
+    tpy = jnp.where(active, tpy * mul_g, tpy)
+    tpz = jnp.where(active, tpz * mul_b, tpz)
+    ndx = ox_s * tx + oy_s * bx + oz_s * snx
+    ndy = ox_s * ty + oy_s * by + oz_s * sny
+    ndz = ox_s * tz + oy_s * bz + oz_s * snz
     ndx, ndy, ndz = _norm3(ndx, ndy, ndz)
     nx2, ny2, nz2 = _offset(px, py, pz, ndx, ndy, ndz, gnx, gny, gnz)
 
@@ -428,7 +853,8 @@ def _kernel(enable_nee, enable_mis, enable_rr,
     nty_o[0] = tpy
     ntz_o[0] = tpz
     nalive_o[0] = active.astype(jnp.int32)
-    nnee_o[0] = jnp.full(SHAPE, 1 if enable_nee else 0, jnp.int32)
+    nnee_o[0] = (can_nee.astype(jnp.int32) if enable_nee
+                 else jnp.zeros(SHAPE, jnp.int32))
     nlpdf_o[0] = pdf
     radx_o[0] = radx
     rady_o[0] = rady
@@ -454,12 +880,12 @@ def shade_diffuse_pallas(tables, sampler, params_vec, hit, ray_o, ray_d,
                          interpret=False):
     """Run the fused shade stage. `tables` is buffers["pallas_shade"];
     `sampler` is buffers["sampler"] (for the in-kernel noise rows);
-    `params_vec` is a traced (32,) f32 (see module docstring + the per-site
+    `params_vec` is a traced (48,) f32 (see module docstring + the per-site
     sampler scalars at [16..32)); `pixel_index` must arrive in 32x32-aligned
     tile order (camera_rays.tile_order with W, H multiples of 32). Returns a
     dict of next-wavefront state + radiance/illumination adds."""
     interpret = interpret or FORCE_INTERPRET
-    tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, lgt_tbl = tables
+    tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, kc_tbl, lgt_tbl = tables
     R = ray_o.shape[0]
     pad = (-R) % BLOCK
     def p1(x, fill=0.0):
@@ -489,8 +915,8 @@ def shade_diffuse_pallas(tables, sampler, params_vec, hit, ray_o, ray_d,
     out_shape = [f32] * 3 + [f32] * 6 + [f32] * 3 + [i32, i32, f32] + \
         [f32] * 7 + [f32] * 3
 
-    ins = [params_vec.reshape(32, 1), tri_geo, tri_nrm, inst_a, inst_b,
-           mat_tbl, lgt_tbl, tile16,
+    ins = [params_vec.reshape(48, 1), tri_geo, tri_nrm, inst_a, inst_b,
+           mat_tbl, kc_tbl, lgt_tbl, tile16,
            sampler["noise_x_rows"], sampler["noise_y_rows"],
            tile(p1(hit.t)), tile(p1(hit.tri.astype(jnp.int32), -1)),
            tile(p1(hit.inst.astype(jnp.int32), -1)),
@@ -507,7 +933,7 @@ def shade_diffuse_pallas(tables, sampler, params_vec, hit, ray_o, ray_d,
     outs = pl.pallas_call(
         partial(_kernel, enable_nee, enable_mis, enable_rr),
         grid=grid,
-        in_specs=[smem()] * 8 + [vmem_full()] * 2 + [block()] * (len(ins) - 10),
+        in_specs=[smem()] * 9 + [vmem_full()] * 2 + [block()] * (len(ins) - 11),
         out_specs=[block()] * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
