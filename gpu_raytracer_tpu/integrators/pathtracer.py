@@ -686,6 +686,48 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     return radiance
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "width", "height", "seed",
+                                    "has_lights", "has_textures", "has_media",
+                                    "use_pallas", "use_wide", "mat_types"))
+def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
+                    vp_prev, vp_curr, taa_prev, is_first, config, width,
+                    height, seed, has_lights, has_textures, has_media,
+                    use_pallas, use_wide, mat_types):
+    """Trace + SVGF + TAA as one program (see render_frame_denoised)."""
+    from gpu_raytracer_tpu.ops import svgf as svgf_ops
+    from gpu_raytracer_tpu.ops import taa as taa_ops
+
+    aovs = render_wave(buffers, camera, pixel_index, sample_index, config,
+                       width, seed, has_lights, has_textures=has_textures,
+                       has_media=has_media, with_aovs=True,
+                       use_pallas=use_pallas, use_wide=use_wide,
+                       mat_types=mat_types)
+
+    # Un-tile into (H, W) images: one scatter per AOV.
+    def img(x):
+        out = jnp.zeros((height * width,) + x.shape[1:], x.dtype)
+        return out.at[pixel_index].set(x).reshape((height, width)
+                                                  + x.shape[1:])
+
+    frame = {k: img(aovs[k]) for k in
+             ("direct", "indirect", "albedo", "normal", "depth",
+              "instance", "position_prev")}
+    colour, new_history = svgf_ops.svgf_step(frame, history, vp_prev, config)
+
+    if config.enable_taa:
+        taa_in = taa_ops.to_taa_space(jnp.maximum(colour, 0.0))
+        prev = jnp.where(is_first, taa_in, taa_prev)
+        screen_prev = svgf_ops.project_to_screen(
+            frame["position_prev"], vp_curr, width, height)
+        taa_out = taa_ops.taa_step(taa_in, prev, screen_prev)
+        colour = taa_ops.from_taa_space(taa_out)
+        new_taa = taa_out
+    else:
+        new_taa = taa_prev
+    return colour, new_history, new_taa
+
+
 class Pathtracer:
     """Host orchestrator: owns device buffers, camera upload, accumulation
     (reference: Integrator + Pathtracer host classes)."""
@@ -836,56 +878,39 @@ class Pathtracer:
 
     def render_frame_denoised(self) -> np.ndarray:
         """One 1-spp frame through SVGF (+TAA): the reference's interactive
-        mode (Pathtracer.cpp render() SVGF branch + svgf_* kernels)."""
+        mode (Pathtracer.cpp render() SVGF branch + svgf_* kernels).
+
+        The whole frame — trace (in 32x32 tile order for traversal
+        coherence), AOV scatter, SVGF and TAA — is ONE jitted program:
+        per-op dispatch over the device link would otherwise cost more
+        than the denoiser math itself."""
         from gpu_raytracer_tpu.ops import svgf as svgf_ops
-        from gpu_raytracer_tpu.ops import taa as taa_ops
 
         if self.buffers is None:
             self.init_device()
         H, W = self.height, self.width
         if getattr(self, "_svgf_history", None) is None:
             self._svgf_history = svgf_ops.init_history(H, W)
-            self._taa_prev = None
+            self._taa_prev = jnp.zeros((H, W, 3), jnp.float32)
             self._vp_prev = jnp.asarray(self.scene.camera.view_projection)
+        if getattr(self, "_tile_order", None) is None or \
+                self._tile_order.shape[0] != W * H:
+            from gpu_raytracer_tpu.ops.camera_rays import tile_order
+
+            self._tile_order = jnp.asarray(tile_order(W, H))
 
         camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
-        idx = jnp.arange(W * H, dtype=jnp.int32)
-        aovs = render_wave(self.buffers, camera, idx, self.sample_index,
-                           self.gpu_config, W, self.cpu_config.seed,
-                           self.scene.has_lights,
-                           has_textures=len(self.scene.textures) > 0,
-                           has_media=len(self.scene.mediums) > 0,
-                           with_aovs=True, use_pallas=self.use_pallas,
-                           use_wide=self.use_wide and not self.use_pallas,
-                           mat_types=self.mat_types)
+        colour, self._svgf_history, self._taa_prev = _denoised_frame(
+            self.buffers, camera, self._tile_order, self.sample_index,
+            self._svgf_history, self._vp_prev,
+            jnp.asarray(self.scene.camera.view_projection), self._taa_prev,
+            jnp.asarray(self.sample_index == 0),
+            self.gpu_config, W, H, self.cpu_config.seed,
+            self.scene.has_lights, len(self.scene.textures) > 0,
+            len(self.scene.mediums) > 0, self.use_pallas,
+            self.use_wide and not self.use_pallas, self.mat_types)
         self.sample_index += 1
-
-        def img(x):
-            return x.reshape((H, W) + x.shape[1:])
-
-        frame = {
-            "direct": img(aovs["direct"]),
-            "indirect": img(aovs["indirect"]),
-            "albedo": img(aovs["albedo"]),
-            "normal": img(aovs["normal"]),
-            "depth": img(aovs["depth"]),
-            "instance": img(aovs["instance"]),
-            "position_prev": img(aovs["position_prev"]),
-        }
-        colour, self._svgf_history = svgf_ops.svgf_step(
-            frame, self._svgf_history, self._vp_prev, self.gpu_config)
         self._vp_prev = jnp.asarray(self.scene.camera.view_projection)
-
-        if self.gpu_config.enable_taa:
-            taa_in = taa_ops.to_taa_space(jnp.maximum(colour, 0.0))
-            if self._taa_prev is None:
-                self._taa_prev = taa_in
-            screen_prev = svgf_ops.project_to_screen(
-                frame["position_prev"], self._vp_prev, W, H)
-            taa_out = taa_ops.taa_step(taa_in, self._taa_prev, screen_prev)
-            self._taa_prev = taa_out
-            colour = taa_ops.from_taa_space(taa_out)
-
         self.accumulator = colour.reshape(-1, 3)
         return np.asarray(colour)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gpu_raytracer_tpu.config import (
@@ -158,13 +159,16 @@ def load_tables() -> dict:
         # row read replaces a per-lane gather.
         "noise_x_rows": jnp.asarray(nx_rows),
         "noise_y_rows": jnp.asarray(ny_rows),
-        # (T*128*128, 8) padded [nx, ny] rows: ONE row gather per draw2 for
-        # the per-pixel CP rotation instead of two column gathers (TPU
-        # gathers cost HBM latency per start — ops/vec.py fetch_rows).
-        "noise_xy": jnp.asarray(np.concatenate(
-            [noise[:, :, :, 0].reshape(-1, 1), noise[:, :, :, 1].reshape(-1, 1),
-             np.zeros((noise.shape[0] * noise.shape[1] * noise.shape[2], 6),
-                      np.uint8)], axis=-1).astype(np.float32) / 255.0),
+        # (128*128, 2T) rows holding EVERY texture's (nx, ny) pair for one
+        # pixel position: all draw sites of a bounce read the SAME row
+        # (they differ only in the texture index), so XLA CSEs the per-draw
+        # gathers into ONE row gather per bounce; each draw then selects
+        # its texture's pair with a dynamic minor-dim slice. (TPU gathers
+        # cost HBM latency per start — ops/vec.py fetch_rows.)
+        "noise_all": jnp.asarray(
+            noise.transpose(1, 2, 0, 3).reshape(
+                noise.shape[1] * noise.shape[2], -1)
+            .astype(np.float32) / 255.0),
     }
 
 
@@ -264,16 +268,16 @@ def pmj_random2(tables: dict, dim: int, pixel_index, bounce, sample_index,
         sx = tables["seq_x"][flat]
         sy = tables["seq_y"][flat]
 
-    # Cranley-Patterson rotation by tiled per-pixel blue noise (one padded
-    # row gather for both channels).
+    # Cranley-Patterson rotation by tiled per-pixel blue noise: one
+    # texture-agnostic row gather (CSE-shared across every draw site of
+    # the bounce) + a dynamic 2-column slice for this dim's texture.
     tex = (dim_total % BLUE_NOISE_NUM_TEXTURES).astype(jnp.int32)
     x = (pixel_index % width) % BLUE_NOISE_TEXTURE_DIM
     y = (pixel_index // width) % BLUE_NOISE_TEXTURE_DIM
-    noise_idx = (tex * BLUE_NOISE_TEXTURE_DIM * BLUE_NOISE_TEXTURE_DIM
-                 + y * BLUE_NOISE_TEXTURE_DIM + x)
-    nrow = tables["noise_xy"][noise_idx]
-    sx = sx + nrow[:, 0]
-    sy = sy + nrow[:, 1]
+    nrow = tables["noise_all"][y * BLUE_NOISE_TEXTURE_DIM + x]
+    pair = jax.lax.dynamic_slice_in_dim(nrow, 2 * tex, 2, axis=1)
+    sx = sx + pair[:, 0]
+    sy = sy + pair[:, 1]
     sx = jnp.where(sx >= 1.0, sx - 1.0, sx)
     sy = jnp.where(sy >= 1.0, sy - 1.0, sy)
 
