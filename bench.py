@@ -151,6 +151,25 @@ def pallas_parity_check():
         h = trace_closest_wide(*bufs["wide"], o, d, tmax)
         ok &= bool(np.allclose(np.asarray(h.t), np.asarray(ref.t),
                                rtol=1e-5, atol=1e-5, equal_nan=True))
+    # Fused shade megakernel vs the XLA bounce body (diffuse Cornell:
+    # bit-near parity expected; catches Mosaic breaks in the shade/BSDF/
+    # in-kernel-sampler code the interpret-mode CI can't see).
+    if bufs.get("pallas_shade") is not None:
+        from gpu_raytracer_tpu.config import GPUConfig
+        from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+
+        cfg = GPUConfig(num_bounces=4)
+        a, _ = render_wave(bufs, camera, pix, 1, cfg, 64, 0, True, True,
+                           use_pallas=True)
+        b, _ = render_wave(bufs, camera, pix, 1, cfg, 64, 0, True, True,
+                           use_pallas=True, use_pallas_shade=True)
+        a, b = np.asarray(a), np.asarray(b)
+        # Compiled-kernel float reordering flips a handful of RR/lobe
+        # decisions -> chaotic per-pixel divergence; parity is statistical:
+        # matching means and only isolated path flips.
+        mean_ok = abs(a.mean() - b.mean()) < 0.01 * max(a.mean(), 1e-6)
+        flips = (np.abs(a - b).max(axis=1) > 1e-3).mean()
+        ok &= bool(mean_ok and flips < 0.05)
     return ok
 
 
@@ -169,6 +188,13 @@ def main() -> int:
     mrays, ms, paths = bench_scene(sponza, 1920, 1080, 3, POVS_SPONZA[:3])
     cor_mrays, cor_ms, _ = bench_scene(cornell, 512, 512, 6, None, samples=4)
     try:
+        inst_mrays, _, _ = bench_scene(
+            "/root/reference/Data/instancing/scene.xml", 512, 512, 4, None,
+            samples=4)
+    except Exception as e:
+        print(f"[bench] instancing scene failed: {e}", file=sys.stderr)
+        inst_mrays = None
+    try:
         den_ms = bench_denoised(sponza, 1920, 1080)
     except Exception:
         den_ms = None
@@ -181,6 +207,7 @@ def main() -> int:
         "sponza_ms_per_sample": round(ms, 1),
         "svgf_taa_1080p_ms_frame": round(den_ms, 1) if den_ms else None,
         "cornell512_mrays": round(cor_mrays, 3),
+        "instancing512_mrays": round(inst_mrays, 3) if inst_mrays else None,
         "pallas_tpu_parity_ok": parity,
         "paths": paths,
     }))
