@@ -95,7 +95,12 @@ def reproject(frame: dict, history: SVGFHistory, screen_prev,
 
     # 2x2 bilinear taps at the reprojected position, each validated by
     # normal/depth/instance consistency (reference: is_tap_consistent
-    # SVGF.h:83-98).
+    # SVGF.h:83-98). TPU gathers are HBM-latency-bound per START, so the
+    # naive form (4 taps x 7 history fields = 28 image gathers) costs
+    # ~850 ms at 1080p. Instead the WHOLE history packs into one
+    # (H, W, 16) image whose 2x2 neighborhood is prebuilt as a 56-channel
+    # quad image (4 cheap bandwidth shifts): the entire reproject then
+    # needs ONE gather, and each tap selects its quadrant by lane mask.
     px = screen_prev[..., 0] - 0.5
     py = screen_prev[..., 1] - 0.5
     x0 = jnp.floor(px).astype(jnp.int32)
@@ -103,24 +108,44 @@ def reproject(frame: dict, history: SVGFHistory, screen_prev,
     fx = px - x0
     fy = py - y0
 
+    hist_img = jnp.concatenate([
+        history.direct, history.indirect, history.moments,
+        history.length[..., None], history.normal,
+        history.depth[..., None],
+        history.instance[..., None].astype(jnp.float32),
+    ], axis=-1)  # (H, W, 16): moments has 4 channels
+    quad = jnp.concatenate([
+        hist_img,
+        _shift(hist_img, 0, -1),    # (y, x+1)
+        _shift(hist_img, -1, 0),    # (y+1, x)
+        _shift(hist_img, -1, -1),   # (y+1, x+1)
+    ], axis=-1)  # (H, W, 64)
+    xb = jnp.clip(x0, 0, W - 2)
+    yb = jnp.clip(y0, 0, H - 2)
+    rows = quad.reshape(H * W, 64)[yb * W + xb].reshape(H, W, 64)
+    inst_cur = frame["instance"].astype(jnp.float32)
+
     def tap(xi, yi, wgt):
-        xc = jnp.clip(xi, 0, W - 1)
-        yc = jnp.clip(yi, 0, H - 1)
         in_bounds = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        n_prev = history.normal[yc, xc]
-        z_prev = history.depth[yc, xc]
-        i_prev = history.instance[yc, xc]
+        slot = jnp.clip(yi - yb, 0, 1) * 2 + jnp.clip(xi - xb, 0, 1)
+        f = rows[..., 0:16]
+        f = jnp.where((slot == 1)[..., None], rows[..., 16:32], f)
+        f = jnp.where((slot == 2)[..., None], rows[..., 32:48], f)
+        f = jnp.where((slot == 3)[..., None], rows[..., 48:64], f)
+        n_prev = f[..., 11:14]
+        z_prev = f[..., 14]
+        i_prev = f[..., 15]
         z_prev_c = jnp.where(jnp.isfinite(z_prev), z_prev, jnp.float32(1e30))
         z_cur = frame["depth"]
         consistent = (jnp.sum(n_prev * frame["normal"], axis=-1) > 0.95) \
             & (jnp.abs(z_prev_c - z_cur)
                < 2.0 * jnp.maximum(z_cur * 0.02, 1e-2)) \
-            & (i_prev == frame["instance"])
+            & (i_prev == inst_cur)
         w = jnp.where(in_bounds & consistent, wgt, 0.0)
-        return (w, w[..., None] * history.direct[yc, xc],
-                w[..., None] * history.indirect[yc, xc],
-                w[..., None] * history.moments[yc, xc],
-                w * history.length[yc, xc])
+        return (w, w[..., None] * f[..., 0:3],
+                w[..., None] * f[..., 3:6],
+                w[..., None] * f[..., 6:10],
+                w * f[..., 10])
 
     taps = [
         tap(x0, y0, (1 - fx) * (1 - fy)),
