@@ -15,6 +15,10 @@ import json
 import sys
 import time
 
+from gpu_raytracer_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 NORTH_STAR_MRAYS = 240.0
 
 

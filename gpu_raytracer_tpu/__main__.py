@@ -17,10 +17,12 @@ import time
 from gpu_raytracer_tpu import args as cli
 from gpu_raytracer_tpu.config import IntegratorType
 from gpu_raytracer_tpu.scene import Scene
+from gpu_raytracer_tpu.utils import compile_cache
 from gpu_raytracer_tpu.utils import image as image_io
 
 
 def main(argv=None) -> int:
+    compile_cache.enable()
     cpu, gpu = cli.parse(argv)
     if not cpu.scene_filenames:
         print("no scene file given (see --help)", file=sys.stderr)

@@ -155,12 +155,46 @@ def collapse_wide(bvh: BVH2, width: int = WIDTH) -> WideBVH:
 
 def estimate_table_bytes(num_bvh2_nodes: int, num_tris: int,
                          num_instances: int) -> int:
-    """Upper-bound VMEM footprint of the packed wide tables, for gating
-    before any build work happens. Wide nodes <= BVH2 interior nodes / 3
-    (8-wide cut of a binary tree), leaf rows <= BVH2 leaves + instances."""
+    """Heuristic pre-gate for the VMEM footprint of the packed wide tables,
+    used to skip build work for scenes that obviously won't fit. NOT a hard
+    upper bound (a skewed greedy cut can emit more than nodes/3 wide nodes);
+    `ops/pallas_wide.supports()` re-checks the exact packed sizes, so an
+    undershoot here only wastes build time, never correctness."""
     wide_nodes = max(num_bvh2_nodes // 3, 1) + num_instances
     leaf_rows = num_tris + num_instances + 1
     return (wide_nodes + leaf_rows) * ROW * 4
+
+
+def max_stack(wide: WideBVH, leaf_g=None) -> int:
+    """Worst-case stack height the block-synchronous kernel can reach while
+    traversing this wide tree (ops/pallas_wide.py pops one entry and pushes
+    up to 8 per iteration; pushes past STACK_DEPTH are silently dropped, so
+    the packer must verify the tree fits).
+
+    g(node) = entries above the pop point while the subtree runs; for an
+    internal node with m children the worst case is the deepest child popped
+    while all m-1 siblings still sit below it. `leaf_g` gives the per-leaf
+    continuation cost (0 for triangle rows; TLAS instance rows push RESTORE +
+    BLAS root and then run the BLAS subtree). Returns 1 + g(root) — the root
+    itself is pushed before the loop starts."""
+    n = wide.num_nodes
+    g = np.zeros(n, np.int64)
+    if leaf_g is None:
+        leaf_g = np.zeros(wide.num_leaves, np.int64)
+    # child_ref >= 0 means child node ids are > parent id (alloc order), so a
+    # reverse sweep is a valid post-order.
+    for i in range(n - 1, -1, -1):
+        refs = wide.child_ref[i]
+        child_g = []
+        for r in refs:
+            r = int(r)
+            if r >= 0:
+                child_g.append(int(g[r]))
+            elif r <= -2:
+                child_g.append(int(leaf_g[-r - 2]))
+        m = len(child_g)
+        g[i] = max(m, (m - 1) + max(child_g)) if m else 0
+    return 1 + int(g[0]) if n else 1
 
 
 def pack_wide_scene(blas_wides: list, tri_bases: list,
@@ -181,6 +215,14 @@ def pack_wide_scene(blas_wides: list, tri_bases: list,
 
     wides = blas_wides
     wtlas = collapse_wide(tlas_bvh2)
+
+    # Worst-case kernel stack: TLAS tree with each instance leaf continuing
+    # into RESTORE + its BLAS subtree (see max_stack).
+    blas_g = np.asarray([max_stack(w) - 1 for w in wides], np.int64)
+    tlas_inst = tlas_bvh2.indices[wtlas.leaf_first]
+    leaf_g = np.maximum(2, 1 + blas_g[mesh_of_inst[tlas_inst]]) \
+        if wides else np.full(wtlas.num_leaves, 2, np.int64)
+    required_stack = max_stack(wtlas, leaf_g)
 
     # --- global layout: nodes [TLAS][BLAS0][BLAS1]...; leaf rows
     # [TLAS instance rows][BLAS0 tri rows]... ---
@@ -230,7 +272,7 @@ def pack_wide_scene(blas_wides: list, tri_bases: list,
             rows[out[m], 1 + j] = (firsts[m] + j).astype(np.float32)
             rows[out[m], 16 + j * 9: 16 + j * 9 + 9] = tri_geo[firsts[m] + j]
 
-    return {"nodes": nodes, "rows": rows}
+    return {"nodes": nodes, "rows": rows, "max_stack": int(required_stack)}
 
 
 def pack_wide_merged(wide: WideBVH, id_map: np.ndarray,
@@ -262,4 +304,4 @@ def pack_wide_merged(wide: WideBVH, id_map: np.ndarray,
         rows[out[m], 1 + j] = ids.astype(np.float32)
         rows[out[m], 16 + j * 9: 16 + j * 9 + 9] = \
             tri_geo_world_leaf[firsts[m] + j]
-    return {"nodes": nodes, "rows": rows}
+    return {"nodes": nodes, "rows": rows, "max_stack": max_stack(wide)}

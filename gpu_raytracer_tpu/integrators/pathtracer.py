@@ -691,7 +691,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                     "has_lights", "has_textures", "has_media",
                                     "use_pallas", "use_wide", "mat_types"))
 def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
-                    vp_prev, vp_curr, taa_prev, is_first, config, width,
+                    vp_prev, taa_prev, is_first, config, width,
                     height, seed, has_lights, has_textures, has_media,
                     use_pallas, use_wide, mat_types):
     """Trace + SVGF + TAA as one program (see render_frame_denoised)."""
@@ -718,8 +718,12 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
     if config.enable_taa:
         taa_in = taa_ops.to_taa_space(jnp.maximum(colour, 0.0))
         prev = jnp.where(is_first, taa_in, taa_prev)
+        # position_prev is the hit's PREVIOUS-frame world position, so it
+        # must be projected with the PREVIOUS view-projection to land on the
+        # pixel that saw it last frame (reference: svgf_set_gbuffers uses
+        # svgf_data.view_projection_prev, Src/CUDA/SVGF/SVGF.h:61-81).
         screen_prev = svgf_ops.project_to_screen(
-            frame["position_prev"], vp_curr, width, height)
+            frame["position_prev"], vp_prev, width, height)
         taa_out = taa_ops.taa_step(taa_in, prev, screen_prev)
         colour = taa_ops.from_taa_space(taa_out)
         new_taa = taa_out
@@ -902,8 +906,7 @@ class Pathtracer:
         camera = {k: jnp.asarray(v) for k, v in self.scene.camera.params().items()}
         colour, self._svgf_history, self._taa_prev = _denoised_frame(
             self.buffers, camera, self._tile_order, self.sample_index,
-            self._svgf_history, self._vp_prev,
-            jnp.asarray(self.scene.camera.view_projection), self._taa_prev,
+            self._svgf_history, self._vp_prev, self._taa_prev,
             jnp.asarray(self.sample_index == 0),
             self.gpu_config, W, H, self.cpu_config.seed,
             self.scene.has_lights, len(self.scene.textures) > 0,

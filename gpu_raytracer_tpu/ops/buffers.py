@@ -485,6 +485,10 @@ def _pack_wide(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray):
         print(f"[bvh] wide tables ({(n + l) * 512 // 2 ** 20} MB) exceed the "
               f"VMEM budget; falling back to the XLA binary traversal")
         return None
+    if packed["max_stack"] > pallas_wide.STACK_DEPTH:
+        print(f"[bvh] wide tree needs stack {packed['max_stack']} > kernel "
+              f"budget {pallas_wide.STACK_DEPTH}; falling back to XLA")
+        return None
     return {"tables": (jnp.asarray(packed["nodes"]),
                        jnp.asarray(packed["rows"])),
             "prim_map": None}
@@ -506,7 +510,10 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     counts = [geo.tri_count_of_mesh[inst.mesh_data_id]
               for inst in scene.instances]
     P = int(sum(counts))
-    if I >= (1 << 10) or P >= (1 << 22):
+    # prim_map is int32 with the tri slot in the low 22 bits, leaving 9 usable
+    # instance bits (bit 31 is the sign: inst 512 << 22 would overflow int32).
+    # Scenes beyond either range take the two-level wide path instead.
+    if I >= (1 << 9) or P >= (1 << 22):
         return None
     world = np.empty((P, 3, 3), np.float32)
     prim_map = np.empty(P, np.int32)
@@ -537,6 +544,10 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     if not pallas_wide.supports(n, l):
         print(f"[bvh] merged wide tables ({(n + l) * 512 // 2 ** 20} MB) "
               f"exceed the VMEM budget; falling back")
+        return None
+    if packed["max_stack"] > pallas_wide.STACK_DEPTH:
+        print(f"[bvh] merged wide tree needs stack {packed['max_stack']} > "
+              f"kernel budget {pallas_wide.STACK_DEPTH}; falling back")
         return None
     return {"tables": (jnp.asarray(packed["nodes"]),
                        jnp.asarray(packed["rows"])),

@@ -35,9 +35,10 @@ Table layouts (packed by ops/buffers.py `_pack_pallas_shade`):
                    [8] ior, [9:12] eta, [12:15] k
   kc_tbl  (32, M): per-material Kulla-Conty curves (bake_material_curves)
   lgt_tbl (16, L): [0] cdf, [1] light tri id, [2] light instance id
-  params  (32, 1): [0] bounce, [1] num_bounces, [2:5] sky rgb (scale folded),
+  params  (48, 1): [0] bounce, [1] num_bounces, [2:5] sky rgb (scale folded),
                    [5] lights total_weight, [6] sample_index;
-                   per draw site s in (RR, NEE_LIGHT, NEE_TRIANGLE, BSDF_1):
+                   per draw site s in (RR=0, NEE_LIGHT=1, NEE_TRIANGLE=2,
+                   BSDF_0=3, BSDF_1=4):
                    [16+4s .. 16+4s+4) = (pmj_x, pmj_y, noise_tex, use_table)
 """
 

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (SURVEY §5.4: the PTX-cache analog): the suite
+# is compile-dominated, and most tests re-run identical 48x48 pipelines across
+# processes — cache hits cut whole-suite time by an order of magnitude.
+from gpu_raytracer_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import pytest  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/Data"
