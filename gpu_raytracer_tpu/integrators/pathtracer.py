@@ -185,19 +185,16 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     del valid_mask
     prev_allow_nee = jnp.zeros(R, bool)  # primary rays: emissive hits count fully
     last_pdf = jnp.ones(R, jnp.float32)
-    # AOV accumulators (reference: Src/CUDA/AOV.h; direct = emission reaching
+    # AOV values (reference: Src/CUDA/AOV.h; direct = emission reaching
     # the camera through <= 1 scattering event, the reference's bounce<=1 rule
     # for emissive hits and bounce==0 rule for NEE shadow rays). When SVGF
     # demodulation is on, the primary albedo is divided back out of the path
     # (reference: calc_albedo skips the throughput multiply at bounce 0).
+    # Everything except `direct` is written ONLY at bounce 0, which is PEELED
+    # out of the bounce while_loop (see below) — the G-buffer arrays never
+    # enter the loop carry, and the peeled call sees a STATIC first flag.
     demodulate = with_aovs and config.enable_svgf and config.modulate_albedo
     direct = jnp.zeros((R, 3), jnp.float32)
-    aov_albedo = jnp.ones((R, 3), jnp.float32)
-    aov_normal = jnp.zeros((R, 3), jnp.float32)
-    aov_position = jnp.zeros((R, 3), jnp.float32)
-    aov_depth = jnp.full((R,), jnp.inf, jnp.float32)
-    aov_instance = jnp.full((R,), -1, jnp.int32)
-    aov_position_prev = jnp.zeros((R, 3), jnp.float32)
     rays_traced = jnp.zeros((), jnp.float32)  # primary+bounce+shadow ray count
     # Ray cones for texture LOD (reference: Src/CUDA/RayCone.h; angle starts
     # at the camera's per-pixel spread, width grows by angle*t per segment).
@@ -212,8 +209,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         from gpu_raytracer_tpu.ops.pallas_shade import shade_diffuse_pallas
 
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
-         medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
-         aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
+         medium_id, cone_width, direct, rays_traced) = carry
 
         rays_traced = rays_traced + jnp.sum(alive)
         hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
@@ -269,38 +265,53 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                             out["illumination"], 0.0)
         return (out["ray_o"], out["ray_d"], radiance, out["throughput"],
                 out["alive"], out["prev_allow_nee"], out["last_pdf"],
-                medium_id, cone_width, direct, aov_albedo, aov_normal,
-                aov_position, aov_position_prev, aov_depth, aov_instance,
-                rays_traced)
+                medium_id, cone_width, direct, rays_traced)
 
-    def bounce_body(bounce, carry):
+    def _decode_wide_hit(hit):
+        pm = buffers.get("wide_prim_map")
+        if pm is None:
+            return hit
+        # Static-scene flattened tables return per-instance PRIM ids
+        # (buffers._pack_wide_merged): unpack (inst, tri).
+        code = pm[jnp.maximum(hit.tri, 0)]
+        ok = hit.tri >= 0
+        return hit._replace(tri=jnp.where(ok, code & 0x3FFFFF, hit.tri),
+                            inst=jnp.where(ok, code >> 22, hit.inst))
+
+    def bounce_body(bounce, carry, static_first=False):
+        """One bounce. `static_first=True` traces the PEELED bounce-0 call:
+        `first`-gated logic resolves at trace time, the primary wave skips
+        the coherence sort (it arrives pre-tiled by screen position —
+        re-sorting it measured 188 ms vs 38 ms bare at 522k rays), and the
+        G-buffer AOVs are returned out-of-carry."""
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
-         medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
-         aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
-        early = bounce <= 1            # reference's direct-lighting bounces
-        first = bounce == 0
-        not_last = bounce < config.num_bounces - 1
+         medium_id, cone_width, direct, rays_traced) = carry
+        # reference's direct-lighting bounces (bounce <= 1)
+        early = True if static_first else (bounce <= 1)
+        not_last = ((0 < config.num_bounces - 1) if static_first
+                    else (bounce < config.num_bounces - 1))
+        aovs_out = {}
 
         rays_traced = rays_traced + jnp.sum(alive)
         if use_wide:
-            # Coherence sort per bounce wavefront: the block-synchronous
-            # kernel's cost scales with each tile's union working set, which
-            # diffuse bounces otherwise blow up ~25x (ops/ray_sort.py).
-            from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
+            if static_first:
+                hit = trace_closest_wide(
+                    *buffers["wide"], ray_o, ray_d,
+                    jnp.where(alive, INF, jnp.float32(0.0)))
+            else:
+                # Coherence sort per bounce wavefront: the block-synchronous
+                # kernel's cost scales with each tile's union working set,
+                # which diffuse bounces otherwise blow up ~25x
+                # (ops/ray_sort.py).
+                from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
 
-            hit = trace_sorted(
-                lambda o, d, t: trace_closest_wide(*buffers["wide"], o, d, t),
-                ray_o, ray_d, jnp.where(alive, INF, jnp.float32(0.0)),
-                buffers["nodes"]["root_min"], buffers["nodes"]["root_max"])
-            pm = buffers.get("wide_prim_map")
-            if pm is not None:
-                # Static-scene flattened tables return per-instance PRIM
-                # ids (buffers._pack_wide_merged): unpack (inst, tri).
-                code = pm[jnp.maximum(hit.tri, 0)]
-                ok = hit.tri >= 0
-                hit = hit._replace(
-                    tri=jnp.where(ok, code & 0x3FFFFF, hit.tri),
-                    inst=jnp.where(ok, code >> 22, hit.inst))
+                hit = trace_sorted(
+                    lambda o, d, t: trace_closest_wide(*buffers["wide"],
+                                                       o, d, t),
+                    ray_o, ray_d, jnp.where(alive, INF, jnp.float32(0.0)),
+                    buffers["nodes"]["root_min"],
+                    buffers["nodes"]["root_max"])
+            hit = _decode_wide_hit(hit)
         elif use_pallas:
             hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
                                        jnp.where(alive, INF, jnp.float32(0.0)))
@@ -382,14 +393,14 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         mat_type = mrow[:, 0].astype(jnp.int32)
         emission = mrow[:, 1:4]
 
-        if with_aovs:
+        if with_aovs and static_first:
             # Primary-hit G-buffer for EVERY surface hit including emissive
             # ones (reference: svgf_set_gbuffers is also called in the LIGHT
             # branch, Pathtracer.cu:372-377) — otherwise lamp pixels keep
             # inf depth and poison the SVGF edge weights with NaNs.
-            gb_ok = alive & (hit.tri >= 0) & first
-            aov_depth = jnp.where(gb_ok, hit.t, aov_depth)
-            aov_instance = jnp.where(gb_ok, hit.inst, aov_instance)
+            gb_ok = alive & (hit.tri >= 0)
+            aovs_out["depth"] = jnp.where(gb_ok, hit.t, jnp.inf)
+            aovs_out["instance"] = jnp.where(gb_ok, hit.inst, -1)
 
         # ---- emissive hit (reference: Pathtracer.cu:354-421) ----
         is_light = alive & (mat_type == int(MaterialType.LIGHT))
@@ -409,7 +420,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                   jnp.where(pdf_ok, power_heuristic(last_pdf, light_pdf), 0.0))
             else:
                 mis_w = jnp.where(full, 1.0, 0.0)
-            mis_w = jnp.where(first, 1.0, mis_w)
+            # (bounce 0 implicitly gets mis_w = 1: prev_allow_nee starts
+            # False, so `full` covers the reference's bounce==0 rule.)
             light_contrib = throughput * emission * mis_w[:, None]
         else:
             light_contrib = throughput * emission
@@ -419,18 +431,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             direct = direct + jnp.where(early, light_add, 0.0)
         alive = alive & ~is_light
 
-        # ---- bounce cap + russian roulette (reference: Pathtracer.cu:199-218) ----
+        # ---- bounce cap + russian roulette (reference: Pathtracer.cu:199-218;
+        # inactive at bounce 0, which is the peeled call) ----
         alive = alive & not_last
-        if config.enable_russian_roulette:
+        if config.enable_russian_roulette and not static_first:
             survival = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
             u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
                             pixel_index, bounce, sample_index)
-            rr_active = bounce > 0
-            killed = rr_active & (u_rr > survival)
-            alive = alive & ~killed
-            throughput = jnp.where(rr_active,
-                                   throughput / jnp.maximum(survival, 1e-8)[:, None],
-                                   throughput)
+            alive = alive & (u_rr <= survival)
+            throughput = throughput / jnp.maximum(survival, 1e-8)[:, None]
 
         # ---- surface shading (reference: Pathtracer.cu shade_material) ----
         point, geom_n, shading_n, uv, p_obj, e1_obj, e2_obj = _interpolate_hit(tris, irow, hit)
@@ -513,7 +522,10 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                          uv[:, 0], uv[:, 1],
                                          to_uv(a1), to_uv(a2))
 
-            tex_rgb = jax.lax.cond(first, aniso_tex, iso_tex, 0)
+            # Anisotropic gradients at the (peeled) primary bounce, isotropic
+            # cone after — statically resolved, matching the reference's
+            # bounce==0 policy (Pathtracer.cu:668-690).
+            tex_rgb = aniso_tex(0) if static_first else iso_tex(0)
             albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
         # Diffuse folds albedo into throughput once at the hit (reference
         # calc_albedo); plastic's diffuse lobe owns its albedo internally.
@@ -521,24 +533,28 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # filtering (reference: BSDF.h calc_albedo svgf branch).
         is_diffuse = mat_type == int(MaterialType.DIFFUSE)
         fold_albedo = alive & is_diffuse
-        if demodulate:
-            fold_albedo = fold_albedo & ~first
+        if demodulate and static_first:
+            # SVGF demodulation: skip the fold at bounce 0, re-modulate
+            # after filtering (reference: BSDF.h calc_albedo svgf branch).
+            fold_albedo = jnp.zeros_like(fold_albedo)
         throughput = jnp.where(fold_albedo[:, None], throughput * albedo, throughput)
         can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"], mat_types)
 
-        if with_aovs:
+        if with_aovs and static_first:
             # Primary-hit G-buffer (reference: svgf_set_gbuffers SVGF.h:61-81
             # + ALBEDO/NORMAL/POSITION AOVs).
-            hit_ok = alive & first
-            aov_albedo = jnp.where((hit_ok & (is_diffuse | (mat_type == int(MaterialType.PLASTIC))))[:, None],
-                                   albedo, aov_albedo)
-            aov_normal = jnp.where(hit_ok[:, None], shading_n, aov_normal)
-            aov_position = jnp.where(hit_ok[:, None], point, aov_position)
+            hit_ok = alive
+            aovs_out["albedo"] = jnp.where(
+                (hit_ok & (is_diffuse | (mat_type == int(MaterialType.PLASTIC))))[:, None],
+                albedo, 1.0)
+            aovs_out["normal"] = jnp.where(hit_ok[:, None], shading_n, 0.0)
+            aovs_out["position"] = jnp.where(hit_ok[:, None], point, 0.0)
             # Previous-frame world position for motion vectors (reference:
             # per-mesh transform_prev, Integrator.cpp:422).
             point_prev = _affine_point_rows(
                 fetch_rows(instances["prev_rows"], ii), p_obj)
-            aov_position_prev = jnp.where(hit_ok[:, None], point_prev, aov_position_prev)
+            aovs_out["position_prev"] = jnp.where(hit_ok[:, None],
+                                                  point_prev, 0.0)
 
         # ---- next-event estimation (reference: Pathtracer.cu:466-555) ----
         if nee_possible:
@@ -584,12 +600,13 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             shadow_tmax = jnp.where(want_shadow, dist - 2 * EPSILON,
                                     jnp.float32(0.0))
             if use_wide:
-                from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
-
-                occluded = trace_sorted(
-                    lambda o, d, t: trace_any_wide(*buffers["wide"], o, d, t),
-                    shadow_o, to_light, shadow_tmax,
-                    buffers["nodes"]["root_min"], buffers["nodes"]["root_max"])
+                # Shadow waves are NOT re-sorted: origins inherit the parent
+                # wave's clustering, directions point at a small light set,
+                # and the any-hit kernel drains a tile as soon as every lane
+                # is occluded — measured 46 ms unsorted vs 155 ms re-sorted
+                # at 522k rays (tools/exp_sort_cost.py).
+                occluded = trace_any_wide(*buffers["wide"], shadow_o,
+                                          to_light, shadow_tmax)
             elif use_pallas:
                 occluded = trace_any_pallas(*buffers["pallas"], shadow_o,
                                             to_light, shadow_tmax)
@@ -599,8 +616,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             add = want_shadow & ~occluded
             nee_add = jnp.where(add[:, None], illumination, 0.0)
             radiance = radiance + nee_add
-            if with_aovs:
-                direct = direct + jnp.where(first, nee_add, 0.0)
+            if with_aovs and static_first:
+                direct = direct + nee_add
 
         # ---- BSDF sample -> continuation ray (reference: Pathtracer.cu:745-756) ----
         u_f0, u_f1 = draw2(rng.SampleDimension.BSDF_0, pixel_index, bounce, sample_index)
@@ -631,34 +648,45 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             last_pdf = jnp.where(scatters, 1.0, last_pdf)
 
         return (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
-                last_pdf, medium_id, cone_width, direct, aov_albedo, aov_normal,
-                aov_position, aov_position_prev, aov_depth, aov_instance,
-                rays_traced)
+                last_pdf, medium_id, cone_width, direct,
+                rays_traced), aovs_out
 
-    body = fast_bounce_body if use_pallas_shade else bounce_body
     carry = (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
-             last_pdf, medium_id, cone_width, direct, aov_albedo, aov_normal,
-             aov_position, aov_position_prev, aov_depth, aov_instance,
-             rays_traced)
-    # Bounce loop as lax.while_loop: the per-bounce program is traced ONCE
-    # (compile time independent of num_bounces — the unrolled form made
-    # 48-bounce furnace configs take tens of minutes to compile), and the
-    # loop exits as soon as every lane is dead. Mitsuba scenes ship
-    # maxDepth=65; with RR the effective depth is ~6-10, and the reference's
-    # queue compaction makes late bounces near-free — this is the TPU
-    # equivalent (a bounce with zero alive lanes is skipped entirely).
+             last_pdf, medium_id, cone_width, direct, rays_traced)
+    # Bounce 0 is PEELED out of the loop: `first`-gated logic (G-buffer
+    # writes, aniso texture gradients, RR inactivity, demodulation) resolves
+    # statically, the pre-tiled primary wave skips the coherence sort, and
+    # the AOV arrays never enter the loop carry. Bounces 1.. run as a
+    # lax.while_loop: the per-bounce program is traced ONCE (compile time
+    # independent of num_bounces — the unrolled form made 48-bounce furnace
+    # configs take tens of minutes to compile), and the loop exits as soon
+    # as every lane is dead. Mitsuba scenes ship maxDepth=65; with RR the
+    # effective depth is ~6-10, and the reference's queue compaction makes
+    # late bounces near-free — this is the TPU equivalent (a bounce with
+    # zero alive lanes is skipped entirely).
+    aovs_first = {}
+
     def _cond(state):
         b, c = state
         return (b < config.num_bounces) & jnp.any(c[4])
 
-    def _body(state):
-        b, c = state
-        return b + 1, body(b, c)
+    if use_pallas_shade:
+        def _body(state):
+            b, c = state
+            return b + 1, fast_bounce_body(b, c)
 
-    _, carry = jax.lax.while_loop(_cond, _body, (jnp.int32(0), carry))
+        _, carry = jax.lax.while_loop(_cond, _body, (jnp.int32(0), carry))
+    else:
+        carry, aovs_first = bounce_body(jnp.int32(0), carry,
+                                        static_first=True)
+
+        def _body(state):
+            b, c = state
+            return b + 1, bounce_body(b, c)[0]
+
+        _, carry = jax.lax.while_loop(_cond, _body, (jnp.int32(1), carry))
     (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
-     medium_id, cone_width, direct, aov_albedo, aov_normal, aov_position,
-     aov_position_prev, aov_depth, aov_instance, rays_traced) = carry
+     medium_id, cone_width, direct, rays_traced) = carry
 
     # NaN/Inf poisoning -> magenta, matching the reference's diagnostic
     # (Pathtracer.cu:790-793).
@@ -666,17 +694,19 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     magenta = jnp.array([1.0, 0.0, 1.0], jnp.float32)
     radiance = jnp.where(bad[:, None], magenta, radiance)
     if with_aovs:
+        a = aovs_first  # {} on the fast-shade path (its gate excludes AOVs)
         aovs = {
             "radiance": radiance,
             "direct": jnp.where(bad[:, None], 0.0, direct),
             "indirect": jnp.where(bad[:, None], magenta,
                                   jnp.maximum(radiance - direct, 0.0)),
-            "albedo": aov_albedo,
-            "normal": aov_normal,
-            "position": aov_position,
-            "position_prev": aov_position_prev,
-            "depth": aov_depth,
-            "instance": aov_instance,
+            "albedo": a.get("albedo", jnp.ones((R, 3), jnp.float32)),
+            "normal": a.get("normal", jnp.zeros((R, 3), jnp.float32)),
+            "position": a.get("position", jnp.zeros((R, 3), jnp.float32)),
+            "position_prev": a.get("position_prev",
+                                   jnp.zeros((R, 3), jnp.float32)),
+            "depth": a.get("depth", jnp.full((R,), jnp.inf, jnp.float32)),
+            "instance": a.get("instance", jnp.full((R,), -1, jnp.int32)),
         }
         if with_stats:
             return aovs, rays_traced

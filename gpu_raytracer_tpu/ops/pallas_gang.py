@@ -1,0 +1,410 @@
+"""Pallas TPU kernel: per-sublane GANG wide-BVH traversal.
+
+Evolution of the block-synchronous kernel (ops/pallas_wide.py) that fixes
+its core inefficiency on incoherent waves: that kernel pops ONE stack entry
+per iteration and broadcasts the node against all 1024 rays of the (8,128)
+tile, so its cost scales with the UNION of the whole tile's working set and
+every vector op is wasted on the rays that don't care about that node.
+
+Here each of the 8 sublane rows is an independent GANG of 128 rays with its
+own SMEM stack: every iteration pops 8 entries (one per gang), loads 8 rows,
+and the (8,128) vector ops test each gang's 128 rays against ITS OWN node —
+8x more traversal progress per vector op, and each gang's trip count scales
+with the union of only 128 rays. Measured on a v5e
+(tools/exp_gang_prims.py): 8 independent dynamic row loads pipeline to
+~1.1x the cost of one (211 vs 189 ns), per-gang lane-broadcasts
+(8,1)->(8,128), per-sublane-row reductions, and per-gang 2D SMEM stacks all
+lower natively.
+
+This is the TPU answer to the reference CWBVH kernel's per-warp divergence
+machinery (/root/reference/Src/CUDA/Raytracing/BVH8.h:109-274 — persistent
+threads, Dynamic Fetch, Triangle Postponing): the reference lets warps slip
+against each other; the gang split lets sublane rows slip against each
+other.
+
+Tables are the SAME format as pallas_wide (packed by bvh/wide.py):
+  nodes (N, 128) f32: 8 children x 6 bounds at [c*6..c*6+6), child refs at
+    [48+c] (>= 0 wide-node id | -1 empty | <= -2 leaf row -(v+2))
+  rows (L, 128) f32: slot 0 = count (tri leaf) or -1 (instance row)
+    tri leaf: [1+j] global tri id; [16+j*9..+9) p0|e1|e2
+    instance: [1] instance id; [2..14) inverse transform; [14] BLAS root
+
+Mixed entry types in one iteration (gang 0 pops a node while gang 1 pops a
+leaf row) are handled by loading from ONE unified [nodes; rows] table (the
+wrapper concatenates the two; a lax.cond selecting between loads from two
+different VMEM refs crashes this Mosaic toolchain with a layout check
+failure) and running BOTH the slab phase and the triangle phase every
+iteration with per-gang (8,1) row masks — vector work doubles, but the 8x
+progress and union shrinkage dominate on the waves that matter.
+
+Outputs: t, tri, inst only. Barycentrics are NOT computed in-kernel: the
+shade stage re-derives (u, v) from (ray, t, tri) in XLA (one edge-form
+Moller-Trumbore on already-fetched triangle rows) — dropping them saves two
+(8,128) carries plus two un-sort gathers per bounce in the integrator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpu_raytracer_tpu.ops.pallas_wide import (
+    LEAF_CAP,
+    RESTORE,
+    STACK_DEPTH,
+    VMEM_LIMIT,
+    _DIV_EPS,
+    _RAY_EPS,
+    _inv1,
+)
+
+BLOCK = 1024            # rays per tile: 8 gangs x 128 lanes
+SHAPE = (8, 128)
+GANGS = 8
+IDLE = -2_000_000_000   # popped by a gang whose stack is empty
+
+# Test hook: CPU-backend tests flip this to run through the interpreter.
+FORCE_INTERPRET = False
+
+
+def _bc(col):
+    """(8, 1) -> (8, 128) per-gang lane broadcast."""
+    return jax.lax.broadcast_in_dim(col, SHAPE, (0, 1))
+
+
+def _gang_kernel(any_hit, num_nodes, tab_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                 t_out, tri_out, inst_out,
+                 stack_ref):
+    N = num_nodes
+    L = tab_ref.shape[0] - num_nodes
+    SCRAP = STACK_DEPTH  # stack_ref has one trash slot per gang at the end
+
+    wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
+    wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
+    wix, wiy, wiz = _inv1(wdx), _inv1(wdy), _inv1(wdz)
+    t_max = tmax_ref[0]
+    dead = t_max <= 0.0  # padding lanes
+
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, SHAPE, 0)
+
+    for g in range(GANGS):
+        stack_ref[g, 0] = jnp.int32(0)  # root node per gang
+
+    def cond(s):
+        sps = s[0]
+        total = sps[0]
+        for g in range(1, GANGS):
+            total = total + sps[g]
+        return total > 0
+
+    def body(s):
+        (sps, cur_inst,
+         ox, oy, oz, dx, dy, dz, ix, iy, iz,
+         best_t, best_tri, best_inst, occ) = s
+
+        # ---- pop one entry per gang (idle gangs pop IDLE) ----
+        vs = []
+        nsps = []
+        for g in range(GANGS):
+            has = sps[g] > 0
+            spm = jnp.where(has, sps[g] - 1, 0)
+            v = jnp.where(has, stack_ref[g, spm], jnp.int32(IDLE))
+            vs.append(v)
+            nsps.append(spm)
+        sps = nsps
+
+        # ---- one row load per gang from the unified table (nodes at
+        # [0, N), leaf rows at [N, N+L); leaf refs encode -(rid+2);
+        # RESTORE/IDLE land on row N and are masked off below) ----
+        rows = []
+        for g in range(GANGS):
+            v = vs[g]
+            idx = jnp.where(v >= 0, jnp.minimum(v, N - 1),
+                            N + jnp.clip(-v - 2, 0, L - 1))
+            rows.append(tab_ref[idx])
+        blk = jnp.stack(rows)                       # (8, 128)
+
+        # Per-gang type masks as (8,1) columns (broadcast against lanes).
+        # Assembled with iota+where: Mosaic can't stack scalars into rank-1
+        # vectors or reshape 1-bit vectors.
+        gang_col = jax.lax.broadcasted_iota(jnp.int32, (GANGS, 1), 0)
+        node_v = jnp.zeros((GANGS, 1), jnp.int32)
+        leaf_v = jnp.zeros((GANGS, 1), jnp.int32)
+        for g in range(GANGS):
+            node_v = jnp.where(gang_col == g,
+                               (vs[g] >= 0).astype(jnp.int32), node_v)
+            leaf_v = jnp.where(gang_col == g,
+                               ((vs[g] <= -2) & (vs[g] != IDLE))
+                               .astype(jnp.int32), leaf_v)
+        # Full (8,128) masks: Mosaic mishandles implicit (8,1)-bool
+        # broadcasts, so broadcast the i32 columns and compare.
+        node_m = _bc(node_v) > 0
+        leaf_m = _bc(leaf_v) > 0
+        kind = blk[:, 0:1]                          # tri count | -1 instance
+        kind128 = _bc(kind)
+        tri_m = leaf_m & (kind128 >= 0.0)
+        inst_m = leaf_m & (kind128 < 0.0)
+        restore_any = jnp.int32(0)
+        inst_any = jnp.int32(0)
+        for g in range(GANGS):
+            restore_any = restore_any + (vs[g] == RESTORE).astype(jnp.int32)
+            inst_any = inst_any + ((vs[g] <= -2) & (vs[g] != IDLE)
+                                   & (blk[g, 0] < 0.0)).astype(jnp.int32)
+
+        # ---- RESTORE: gang leaves a BLAS -> back to world-space ray ----
+        def do_restore(args):
+            cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz = args
+            rmask = jnp.zeros(SHAPE, bool)
+            for g in range(GANGS):
+                rmask = rmask | ((rowidx == g) & (vs[g] == RESTORE))
+            ci = jnp.where(rmask, -1, cur_inst)
+            return (ci,
+                    jnp.where(rmask, wox, ox), jnp.where(rmask, woy, oy),
+                    jnp.where(rmask, woz, oz), jnp.where(rmask, wdx, dx),
+                    jnp.where(rmask, wdy, dy), jnp.where(rmask, wdz, dz),
+                    jnp.where(rmask, wix, ix), jnp.where(rmask, wiy, iy),
+                    jnp.where(rmask, wiz, iz))
+
+        (cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz) = jax.lax.cond(
+            restore_any > 0, do_restore, lambda a: a,
+            (cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz))
+
+        # ---- node phase: slab-test each gang's 8 children against its own
+        # 128 rays; per-gang front-to-back via a Batcher sort on (8,1)
+        # key/ref columns; push far->near per gang ----
+        cull_t = jnp.where(occ > 0, 0.0, t_max) if any_hit else best_t
+
+        keys, refs = [], []
+        for c in range(8):
+            bx0 = _bc(blk[:, c * 6 + 0:c * 6 + 1])
+            by0 = _bc(blk[:, c * 6 + 1:c * 6 + 2])
+            bz0 = _bc(blk[:, c * 6 + 2:c * 6 + 3])
+            bx1 = _bc(blk[:, c * 6 + 3:c * 6 + 4])
+            by1 = _bc(blk[:, c * 6 + 4:c * 6 + 5])
+            bz1 = _bc(blk[:, c * 6 + 5:c * 6 + 6])
+            tx0 = (bx0 - ox) * ix
+            tx1 = (bx1 - ox) * ix
+            ty0 = (by0 - oy) * iy
+            ty1 = (by1 - oy) * iy
+            tz0 = (bz0 - oz) * iz
+            tz1 = (bz1 - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            hit = (tn <= tf) & (tf > 0.0) & (jnp.maximum(tn, 0.0) < cull_t)
+            # Per-gang nearest entry over that gang's hitting lanes.
+            tmin = jnp.min(jnp.where(hit & node_m, jnp.maximum(tn, 0.0),
+                                     jnp.inf), axis=1, keepdims=True)  # (8,1)
+            ref = blk[:, 48 + c:49 + c].astype(jnp.int32)       # (8,1)
+            take = (ref != -1) & (tmin < jnp.inf)
+            keys.append(jnp.where(take, tmin, jnp.inf))
+            refs.append(jnp.where(take, ref, jnp.int32(-1)))
+
+        if not any_hit:
+            # Batcher odd-even mergesort, ASCENDING by key, on (8,1)
+            # columns — all 8 gangs sort their own children simultaneously.
+            for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                         (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                         (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                         (5, 6)):
+                swap = keys[a] > keys[b]
+                ka = jnp.where(swap, keys[b], keys[a])
+                kb = jnp.where(swap, keys[a], keys[b])
+                ra = jnp.where(swap, refs[b], refs[a])
+                rb = jnp.where(swap, refs[a], refs[b])
+                keys[a], keys[b] = ka, kb
+                refs[a], refs[b] = ra, rb
+
+        for c in range(7, -1, -1):  # far -> near; near pops first
+            for g in range(GANGS):
+                r = refs[c][g, 0]
+                take = (r != -1) & (sps[g] < STACK_DEPTH)
+                stack_ref[g, jnp.where(take, sps[g], SCRAP)] = r
+                sps[g] = sps[g] + take.astype(jnp.int32)
+
+        # ---- triangle phase: each tri-leaf gang tests its own (up to
+        # LEAF_CAP) triangles against its 128 rays ----
+        leaf_alive = tri_m & ~dead
+        for j in range(LEAF_CAP):
+            base = 16 + j * 9
+            p0x = _bc(blk[:, base + 0:base + 1])
+            p0y = _bc(blk[:, base + 1:base + 2])
+            p0z = _bc(blk[:, base + 2:base + 3])
+            e1x = _bc(blk[:, base + 3:base + 4])
+            e1y = _bc(blk[:, base + 4:base + 5])
+            e1z = _bc(blk[:, base + 5:base + 6])
+            e2x = _bc(blk[:, base + 6:base + 7])
+            e2y = _bc(blk[:, base + 7:base + 8])
+            e2z = _bc(blk[:, base + 8:base + 9])
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < _DIV_EPS, _DIV_EPS, a)
+            sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            w = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            limit = t_max if any_hit else best_t
+            hit = (leaf_alive & (j < kind) & (jnp.abs(a) >= _DIV_EPS)
+                   & (u >= 0.0) & (u <= 1.0)
+                   & (w >= 0.0) & (u + w <= 1.0)
+                   & (t > _RAY_EPS) & (t < limit))
+            if any_hit:
+                occ = jnp.maximum(occ, hit.astype(jnp.int32))
+            else:
+                tid = _bc(blk[:, 1 + j:2 + j]).astype(jnp.int32)
+                best_t = jnp.where(hit, t, best_t)
+                best_tri = jnp.where(hit, tid, best_tri)
+                best_inst = jnp.where(hit, cur_inst, best_inst)
+
+        if any_hit:
+            # Per-gang drain: a gang whose 128 lanes are all occluded (or
+            # dead) empties its stack.
+            done = jnp.min(occ + dead.astype(jnp.int32), axis=1,
+                           keepdims=True)  # (8,1)
+            for g in range(GANGS):
+                sps[g] = jnp.where(done[g, 0] > 0, 0, sps[g])
+
+        # ---- instance phase: gang enters a BLAS -> transform its rays,
+        # push RESTORE + BLAS root ----
+        def do_inst(args):
+            (sps, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz) = args
+            m = [_bc(blk[:, 2 + k:3 + k]) for k in range(12)]
+            o2x = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+            o2y = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+            o2z = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+            d2x = m[0] * wdx + m[1] * wdy + m[2] * wdz
+            d2y = m[4] * wdx + m[5] * wdy + m[6] * wdz
+            d2z = m[8] * wdx + m[9] * wdy + m[10] * wdz
+            inst_i = inst_m.astype(jnp.int32)  # bool scalars don't extract
+            imask = jnp.zeros(SHAPE, bool)
+            for g in range(GANGS):
+                g_is_inst = inst_i[g, 0] > 0
+                imask = imask | ((rowidx == g) & g_is_inst)
+                blas_root = blk[g, 14].astype(jnp.int32)
+                ok1 = g_is_inst & (sps[g] < STACK_DEPTH)
+                stack_ref[g, jnp.where(ok1, sps[g], SCRAP)] = jnp.int32(RESTORE)
+                sp1 = sps[g] + ok1.astype(jnp.int32)
+                ok2 = g_is_inst & (sp1 < STACK_DEPTH)
+                stack_ref[g, jnp.where(ok2 & ok1, sp1, SCRAP)] = blas_root
+                sps[g] = sp1 + (ok2 & ok1).astype(jnp.int32)
+            iid = _bc(blk[:, 1:2]).astype(jnp.int32)
+            ci = jnp.where(imask, iid, cur_inst)
+            return (sps, ci,
+                    jnp.where(imask, o2x, ox), jnp.where(imask, o2y, oy),
+                    jnp.where(imask, o2z, oz), jnp.where(imask, d2x, dx),
+                    jnp.where(imask, d2y, dy), jnp.where(imask, d2z, dz),
+                    jnp.where(imask, _inv1(d2x), ix),
+                    jnp.where(imask, _inv1(d2y), iy),
+                    jnp.where(imask, _inv1(d2z), iz))
+
+        (sps, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz) = jax.lax.cond(
+            inst_any > 0, do_inst, lambda a: a,
+            (sps, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz))
+
+        return (sps, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                best_t, best_tri, best_inst, occ)
+
+    init = ([jnp.int32(1)] * GANGS, jnp.full(SHAPE, -1, jnp.int32),
+            wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz,
+            t_max, jnp.full(SHAPE, -1, jnp.int32),
+            jnp.full(SHAPE, -1, jnp.int32),
+            jnp.zeros(SHAPE, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    (_, _, _, _, _, _, _, _, _, _, _, best_t, best_tri, best_inst, occ) = out
+
+    if any_hit:
+        hit_mask = occ > 0
+        t_out[0] = jnp.where(hit_mask, 0.0, jnp.inf)
+        tri_out[0] = jnp.where(hit_mask, 0, -1)
+        inst_out[0] = jnp.where(hit_mask, 0, -1)
+    else:
+        t_out[0] = jnp.where(best_tri >= 0, best_t, jnp.inf)
+        tri_out[0] = best_tri
+        inst_out[0] = best_inst
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False,
+                interpret=False):
+    interpret = interpret or FORCE_INTERPRET
+    R = ray_o.shape[0]
+    pad = (-R) % BLOCK
+    if pad:
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
+        ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    G = (R + pad) // BLOCK
+
+    def tile_spec():
+        return pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def table_spec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def tile(x):
+        return x.reshape(G, 8, 128)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+    ]
+    table_bytes = (nodes.shape[0] + rows.shape[0]) * 128 * 4
+    # One unified [nodes; rows] table: the kernel indexes it with a single
+    # dynamic row load (a lax.cond between loads from two separate refs
+    # crashes Mosaic's layout pass on this toolchain). XLA CSEs the
+    # concatenation across calls with the same buffers.
+    table = jnp.concatenate([nodes, rows], axis=0)
+    t, tri, inst = pl.pallas_call(
+        partial(_gang_kernel, any_hit, nodes.shape[0]),
+        grid=(G,),
+        in_specs=[table_spec(),
+                  tile_spec(), tile_spec(), tile_spec(),
+                  tile_spec(), tile_spec(), tile_spec(), tile_spec()],
+        out_specs=[tile_spec()] * 3,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(table_bytes + 8 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(table,
+      tile(ray_o[:, 0]), tile(ray_o[:, 1]), tile(ray_o[:, 2]),
+      tile(ray_d[:, 0]), tile(ray_d[:, 1]), tile(ray_d[:, 2]),
+      tile(t_max))
+    from gpu_raytracer_tpu.ops.traverse import HitInstanced
+
+    n = R + pad
+    # u, v are re-derived by the shade stage (see module docstring); the
+    # Hit tuple carries zeros so the interface stays uniform.
+    zero = jnp.zeros((R,), jnp.float32)
+    return HitInstanced(t=t.reshape(n)[:R], tri=tri.reshape(n)[:R],
+                        inst=inst.reshape(n)[:R], u=zero, v=zero)
+
+
+def trace_closest_gang(nodes, rows, ray_o, ray_d, t_max, interpret=False):
+    """Closest-hit gang traversal (u/v left zero — recompute in shade)."""
+    return _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False,
+                       interpret=interpret)
+
+
+def trace_any_gang(nodes, rows, ray_o, ray_d, t_max, interpret=False):
+    """Any-hit gang traversal -> (R,) bool occlusion."""
+    hit = _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=True,
+                      interpret=interpret)
+    return hit.tri >= 0
