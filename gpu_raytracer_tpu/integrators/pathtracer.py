@@ -299,18 +299,21 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                     *buffers["wide"], ray_o, ray_d,
                     jnp.where(alive, INF, jnp.float32(0.0)))
             else:
-                # Coherence sort per bounce wavefront: the block-synchronous
-                # kernel's cost scales with each tile's union working set,
-                # which diffuse bounces otherwise blow up ~25x
-                # (ops/ray_sort.py).
-                from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
+                # Bounce waves run on the per-sublane GANG kernel
+                # (ops/pallas_gang.py): each 128-ray gang traverses with
+                # its own stack, so the cost scales with per-gang unions
+                # instead of the whole tile's. Measured on Sponza 522k-ray
+                # diffuse waves: 368 ms unsorted vs the block-sync
+                # kernel's 858 unsorted / 551 sorted (+~120 ms argsort),
+                # so the coherence sort is dropped entirely — bounce
+                # origins already inherit the parent wave's tiling.
+                from gpu_raytracer_tpu.ops.pallas_gang import (
+                    trace_closest_gang,
+                )
 
-                hit = trace_sorted(
-                    lambda o, d, t: trace_closest_wide(*buffers["wide"],
-                                                       o, d, t),
-                    ray_o, ray_d, jnp.where(alive, INF, jnp.float32(0.0)),
-                    buffers["nodes"]["root_min"],
-                    buffers["nodes"]["root_max"])
+                hit = trace_closest_gang(
+                    *buffers["wide"], ray_o, ray_d,
+                    jnp.where(alive, INF, jnp.float32(0.0)))
             hit = _decode_wide_hit(hit)
         elif use_pallas:
             hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
@@ -388,6 +391,24 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # One wide-row fetch per table per bounce (ops/vec.py fetch_rows)
         # instead of dozens of per-column gathers.
         irow = fetch_rows(instances["rows"], ii)        # fwd|inv|mat_id
+        if use_wide and not static_first:
+            # The gang kernel returns (t, tri, inst) without barycentrics
+            # (two fewer (8,128) carries per traversal iteration); re-derive
+            # (u, v) from the object-space hit point against the edge-form
+            # triangle — the shade_rows gather below CSEs with
+            # _interpolate_hit's.
+            _pr = tris["shade_rows"][ti]
+            _p0, _e1, _e2 = _pr[:, 0:3], _pr[:, 3:6], _pr[:, 6:9]
+            _ph = _affine_point_rows(irow[:, 12:24],
+                                     ray_o + hit.t[:, None] * ray_d)
+            _n = jnp.cross(_e1, _e2)
+            _den = jnp.maximum(jnp.sum(_n * _n, axis=-1), 1e-30)
+            _q = _ph - _p0
+            _u = jnp.sum(jnp.cross(_q, _e2) * _n, axis=-1) / _den
+            _v = jnp.sum(jnp.cross(_e1, _q) * _n, axis=-1) / _den
+            _ok = hit.tri >= 0
+            hit = hit._replace(u=jnp.where(_ok, _u, 0.0),
+                               v=jnp.where(_ok, _v, 0.0))
         mat_id = irow[:, 24].astype(jnp.int32)
         mrow = fetch_rows(materials["rows"], mat_id)    # type|em|diff|...
         mat_type = mrow[:, 0].astype(jnp.int32)
@@ -602,10 +623,13 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             if use_wide:
                 # Shadow waves are NOT re-sorted: origins inherit the parent
                 # wave's clustering, directions point at a small light set,
-                # and the any-hit kernel drains a tile as soon as every lane
+                # and the any-hit kernel drains a gang as soon as every lane
                 # is occluded — measured 46 ms unsorted vs 155 ms re-sorted
-                # at 522k rays (tools/exp_sort_cost.py).
-                occluded = trace_any_wide(*buffers["wide"], shadow_o,
+                # at 522k rays (tools/exp_sort_cost.py); the gang kernel's
+                # per-sublane drain is another ~10% (32 vs 36 ms).
+                from gpu_raytracer_tpu.ops.pallas_gang import trace_any_gang
+
+                occluded = trace_any_gang(*buffers["wide"], shadow_o,
                                           to_light, shadow_tmax)
             elif use_pallas:
                 occluded = trace_any_pallas(*buffers["pallas"], shadow_o,
