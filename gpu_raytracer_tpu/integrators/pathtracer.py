@@ -195,6 +195,14 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     # enter the loop carry, and the peeled call sees a STATIC first flag.
     demodulate = with_aovs and config.enable_svgf and config.modulate_albedo
     direct = jnp.zeros((R, 3), jnp.float32)
+    # Russian-roulette albedo correction for the demodulated path: the
+    # primary albedo is NOT folded into throughput (it is divided back out
+    # for SVGF), so survival must be computed against throughput*albedo or
+    # RR systematically over-survives — the reference passes
+    # `throughput * albedo` to russian_roulette exactly for this case
+    # (Pathtracer.cu:199-218). Measured: 1978 -> ~1400 ms on a Sponza
+    # 960x544 3-bounce denoised sample.
+    rr_albedo = jnp.ones((R, 3), jnp.float32) if demodulate else None
     rays_traced = jnp.zeros((), jnp.float32)  # primary+bounce+shadow ray count
     # Ray cones for texture LOD (reference: Src/CUDA/RayCone.h; angle starts
     # at the camera's per-pixel spread, width grows by angle*t per segment).
@@ -209,7 +217,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         from gpu_raytracer_tpu.ops.pallas_shade import shade_diffuse_pallas
 
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
-         medium_id, cone_width, direct, rays_traced) = carry
+         medium_id, cone_width, direct, rays_traced, *_tail) = carry
 
         rays_traced = rays_traced + jnp.sum(alive)
         hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
@@ -265,7 +273,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                             out["illumination"], 0.0)
         return (out["ray_o"], out["ray_d"], radiance, out["throughput"],
                 out["alive"], out["prev_allow_nee"], out["last_pdf"],
-                medium_id, cone_width, direct, rays_traced)
+                medium_id, cone_width, direct, rays_traced, *_tail)
 
     def _decode_wide_hit(hit):
         pm = buffers.get("wide_prim_map")
@@ -285,7 +293,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         re-sorting it measured 188 ms vs 38 ms bare at 522k rays), and the
         G-buffer AOVs are returned out-of-carry."""
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
-         medium_id, cone_width, direct, rays_traced) = carry
+         medium_id, cone_width, direct, rays_traced, *_tail) = carry
+        rr_alb = _tail[0] if demodulate else None
         # reference's direct-lighting bounces (bounce <= 1)
         early = True if static_first else (bounce <= 1)
         not_last = ((0 < config.num_bounces - 1) if static_first
@@ -456,7 +465,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # inactive at bounce 0, which is the peeled call) ----
         alive = alive & not_last
         if config.enable_russian_roulette and not static_first:
-            survival = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
+            rr_basis = throughput * rr_alb if demodulate else throughput
+            survival = jnp.clip(jnp.max(rr_basis, axis=-1), 0.0, 1.0)
             u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
                             pixel_index, bounce, sample_index)
             alive = alive & (u_rr <= survival)
@@ -557,6 +567,9 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         if demodulate and static_first:
             # SVGF demodulation: skip the fold at bounce 0, re-modulate
             # after filtering (reference: BSDF.h calc_albedo svgf branch).
+            # The suppressed factor still weights RR survival (see
+            # rr_albedo above).
+            rr_alb = jnp.where(fold_albedo[:, None], albedo, 1.0)
             fold_albedo = jnp.zeros_like(fold_albedo)
         throughput = jnp.where(fold_albedo[:, None], throughput * albedo, throughput)
         can_nee = bsdf_lib.allow_nee(mat_type, mat["roughness"], mat_types)
@@ -672,11 +685,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             last_pdf = jnp.where(scatters, 1.0, last_pdf)
 
         return (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
-                last_pdf, medium_id, cone_width, direct,
-                rays_traced), aovs_out
+                last_pdf, medium_id, cone_width, direct, rays_traced,
+                *((rr_alb,) if demodulate else ())), aovs_out
 
     carry = (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee,
-             last_pdf, medium_id, cone_width, direct, rays_traced)
+             last_pdf, medium_id, cone_width, direct, rays_traced,
+             *((rr_albedo,) if demodulate else ()))
     # Bounce 0 is PEELED out of the loop: `first`-gated logic (G-buffer
     # writes, aniso texture gradients, RR inactivity, demodulation) resolves
     # statically, the pre-tiled primary wave skips the coherence sort, and
@@ -710,7 +724,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
         _, carry = jax.lax.while_loop(_cond, _body, (jnp.int32(1), carry))
     (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
-     medium_id, cone_width, direct, rays_traced) = carry
+     medium_id, cone_width, direct, rays_traced, *_tail) = carry
 
     # NaN/Inf poisoning -> magenta, matching the reference's diagnostic
     # (Pathtracer.cu:790-793).

@@ -26,6 +26,19 @@ def enable(cache_dir: str | None = None) -> str | None:
     <repo>/.cache/xla). Returns the directory in use, or None on failure."""
     import jax
 
+    # Honor an explicit JAX_PLATFORMS env var. Some site configurations
+    # (the axon TPU tunnel) force-register their platform at interpreter
+    # start and override the env var with jax_platforms="axon,cpu"; when the
+    # user asked for a specific backend (JAX_PLATFORMS=cpu for a headless
+    # CPU render, or while the tunnel is down), put their choice back before
+    # any backend initializes. The test conftest does the same.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and jax.config.jax_platforms != env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     if cache_dir is None:
         cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
     try:

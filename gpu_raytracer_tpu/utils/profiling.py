@@ -83,8 +83,11 @@ def trace(log_dir: str = "/tmp/gpu_raytracer_tpu_trace"):
 
 
 def stage_times(integrator, repeats: int = 3) -> Dict[str, float]:
-    """Per-stage ms (primary trace / full sample) via separate dispatches —
-    the coarse analog of the reference's per-kernel event categories."""
+    """Per-stage ms via separate dispatches on the integrator's PRODUCTION
+    paths (wide/gang Pallas kernels when active, XLA otherwise) — the
+    analog of the reference's per-kernel event-timing tree
+    (Main.cpp:368-443): generate / primary trace / bounce trace / shadow
+    trace / full sample / denoised frame."""
     import jax
     import jax.numpy as jnp
 
@@ -96,11 +99,9 @@ def stage_times(integrator, repeats: int = 3) -> Dict[str, float]:
     bufs = integrator.buffers
     camera = {k: jnp.asarray(v) for k, v in integrator.scene.camera.params().items()}
     idx = jnp.arange(W * H, dtype=jnp.int32)
+    R = W * H
 
     out: Dict[str, float] = {}
-
-    o, d = generate_primary_rays(camera, idx, W, 0, ReconstructionFilter.BOX)
-    jax.block_until_ready((o, d))
 
     def timed(name, fn):
         fn()  # compile
@@ -109,9 +110,50 @@ def stage_times(integrator, repeats: int = 3) -> Dict[str, float]:
             fn()
         out[name] = (time.time() - t0) / repeats * 1000.0
 
-    timed("trace_primary_ms", lambda: jax.block_until_ready(
-        trace_closest_tlas(bufs["nodes"], bufs["tris"], bufs["instances"], o, d,
-                           jnp.full(W * H, jnp.inf))))
+    timed("generate_ms", lambda: jax.block_until_ready(
+        generate_primary_rays(camera, idx, W, 0, ReconstructionFilter.BOX)))
+    o, d = generate_primary_rays(camera, idx, W, 0, ReconstructionFilter.BOX)
+    jax.block_until_ready((o, d))
+    tmax = jnp.full(R, jnp.inf)
+
+    use_wide = getattr(integrator, "use_wide", False) \
+        and not getattr(integrator, "use_pallas", False)
+    if use_wide:
+        from gpu_raytracer_tpu.ops.pallas_gang import (
+            trace_any_gang,
+            trace_closest_gang,
+        )
+        from gpu_raytracer_tpu.ops.pallas_wide import trace_closest_wide
+
+        timed("trace_primary_ms", lambda: jax.block_until_ready(
+            trace_closest_wide(*bufs["wide"], o, d, tmax)))
+        hit = trace_closest_wide(*bufs["wide"], o, d, tmax)
+        # Synthetic diffuse continuation wave from the primary hits: the
+        # representative cost of the bounce-trace category.
+        hp = o + jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)[:, None] * d
+        bd = -d + 0.3 * jnp.sign(jnp.sin(hp * 37.0))
+        bd = bd / jnp.linalg.norm(bd, axis=-1, keepdims=True)
+        btmax = jnp.where(jnp.isfinite(hit.t), jnp.inf, 0.0)
+        bo = hp + 1e-3 * bd
+        timed("trace_bounce_ms", lambda: jax.block_until_ready(
+            trace_closest_gang(*bufs["wide"], bo, bd, btmax)))
+        timed("trace_shadow_ms", lambda: jax.block_until_ready(
+            trace_any_gang(*bufs["wide"], bo, bd,
+                           jnp.where(jnp.isfinite(hit.t), 50.0, 0.0))))
+    else:
+        timed("trace_primary_ms", lambda: jax.block_until_ready(
+            trace_closest_tlas(bufs["nodes"], bufs["tris"], bufs["instances"],
+                               o, d, tmax)))
     timed("full_sample_ms", lambda: (integrator.render(),
                                      jax.block_until_ready(integrator.accumulator)))
+    if integrator.gpu_config.enable_svgf:
+        timed("denoised_frame_ms", lambda: (
+            integrator.render_frame_denoised(),
+            jax.block_until_ready(integrator.accumulator)))
+        out["svgf_taa_ms"] = out["denoised_frame_ms"] - out["full_sample_ms"]
     return out
+
+
+def format_stage_times(times: Dict[str, float]) -> str:
+    """One-line per stage, indented tree like the reference's GUI panel."""
+    return "\n".join(f"  {k:24s} {v:9.2f} ms" for k, v in times.items())

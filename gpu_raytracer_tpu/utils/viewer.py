@@ -170,6 +170,17 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                             integrator.update(0.0)
                             print(f"\x1b[Hmaterial '{m.name}' edited: "
                                   f"rough={m.linear_roughness:.2f}\x1b[K")
+                    elif k == "t":
+                        # Live per-stage timing readout (reference: the
+                        # GUI's per-kernel event tree, Main.cpp:368-443).
+                        from gpu_raytracer_tpu.utils.profiling import (
+                            format_stage_times,
+                            stage_times,
+                        )
+
+                        times = stage_times(integrator, repeats=2)
+                        print("\x1b[Hstage times:\x1b[K\n"
+                              + format_stage_times(times) + "\x1b[K")
                     elif k == "r":
                         # Hot reload: rebuild device buffers + re-trace (F5).
                         integrator.init_device()
@@ -189,7 +200,7 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
             sys.stdout.write(
                 f"spp {integrator.sample_index}  {stats['avg_ms']:.0f} ms/frame "
                 f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, IJKL crosshair, "
-                f"p query, []/-+ edit material, r reload, x quit]\x1b[K\n")
+                f"p query, []/-+ edit material, t timings, r reload, x quit]\x1b[K\n")
             sys.stdout.flush()
 
             if not interactive and target_samples and \

@@ -65,3 +65,40 @@ def test_sharded_denoised_matches_single():
     np.testing.assert_allclose(np.asarray(c2), np.asarray(s2),
                                rtol=1e-4, atol=1e-5)
     assert np.isfinite(np.asarray(c2)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_wide_path_matches_single():
+    """The sharded step must exercise the PRODUCTION traversal pipeline
+    (wide/gang Pallas kernels, run per-shard via shard_map), not the XLA
+    fallback — interpret mode stands in for Mosaic on the CPU backend."""
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops import pallas_gang as pg
+    from gpu_raytracer_tpu.ops import pallas_wide as pwd
+    from gpu_raytracer_tpu.parallel.mesh import shard_render_wave
+
+    scene = Scene.from_config(CPUConfig(scene_filenames=[CORNELL]))
+    scene.film_width, scene.film_height = W, H
+    scene.camera.resize(W, H)
+    bufs = build_scene_buffers(scene)
+    assert bufs.get("wide") is not None
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    config = GPUConfig(num_bounces=2)
+    idx = jnp.arange(W * H, dtype=jnp.int32)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
+
+    old_w, old_g = pwd.FORCE_INTERPRET, pg.FORCE_INTERPRET
+    pwd.FORCE_INTERPRET = pg.FORCE_INTERPRET = True
+    try:
+        mesh = make_mesh(jax.devices()[:8])
+        step = shard_render_wave(mesh, config, W, has_lights=scene.has_lights,
+                                 use_wide=True, mat_types=mat_types)
+        sharded = step(place_replicated(mesh, bufs),
+                       place_replicated(mesh, camera), idx, 0)
+        single = render_wave(bufs, camera, idx, 0, config, W, 0,
+                             scene.has_lights, use_wide=True,
+                             mat_types=mat_types)
+        np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+        assert np.isfinite(np.asarray(sharded)).all()
+    finally:
+        pwd.FORCE_INTERPRET, pg.FORCE_INTERPRET = old_w, old_g

@@ -62,3 +62,38 @@ def test_aniso_wraps_across_border():
         jnp.asarray([[0.0, 0.01]], jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
     assert float(out[0, 0]) > 0.9  # white band everywhere at v=0.25
+
+
+def test_dds_bc1_fallback_decode(tmp_path):
+    """BC1 DDS decode via the numpy fallback (reference: TextureLoader.cpp
+    load_dds): a 4x4 one-block file with c0=red, c1=blue and per-texel
+    palette indices [0,1,2,3] repeating."""
+    import numpy as np
+
+    from gpu_raytracer_tpu.assets.texture import decode_dds
+
+    hdr = np.zeros(128, np.uint8)
+    hdr[0:4] = np.frombuffer(b"DDS ", np.uint8)
+    dw = hdr[4:128].view(np.uint32)
+    dw[0] = 124
+    dw[2] = 4   # height
+    dw[3] = 4   # width
+    hdr[84:88] = np.frombuffer(b"DXT1", np.uint8)
+    c0 = 0xF800  # red in RGB565
+    c1 = 0x001F  # blue
+    # index bits: texel i uses palette (i % 4): 0b11100100 per row byte
+    block = np.array([c0 & 0xFF, c0 >> 8, c1 & 0xFF, c1 >> 8,
+                      0b11100100, 0b11100100, 0b11100100, 0b11100100],
+                     np.uint8)
+    f = tmp_path / "test.dds"
+    np.concatenate([hdr, block]).tofile(str(f))
+
+    img = decode_dds(str(f))
+    assert img.shape == (4, 4, 3)
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0])     # c0
+    np.testing.assert_array_equal(img[0, 1], [0, 0, 255])     # c1
+    # c0 > c1 -> 4-color mode: 2/3 red + 1/3 blue then 1/3 red + 2/3 blue
+    np.testing.assert_allclose(img[0, 2], [170, 0, 85], atol=1)
+    np.testing.assert_allclose(img[0, 3], [85, 0, 170], atol=1)
+    # every row identical
+    np.testing.assert_array_equal(img[1:], np.broadcast_to(img[0], (3, 4, 3)))
