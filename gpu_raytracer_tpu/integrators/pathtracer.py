@@ -148,13 +148,14 @@ def _interpolate_hit(tris, irow, hit):
                                     "with_stats", "has_textures", "with_aovs",
                                     "has_media", "use_pallas",
                                     "use_pallas_shade", "use_wide",
-                                    "mat_types"))
+                                    "use_gather_shade", "mat_types"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
                 has_media: bool = False, use_pallas: bool = False,
                 use_pallas_shade: bool = False, use_wide: bool = False,
+                use_gather_shade: bool = False,
                 valid_mask=None, mat_types=None):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
@@ -422,6 +423,123 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         mrow = fetch_rows(materials["rows"], mat_id)    # type|em|diff|...
         mat_type = mrow[:, 0].astype(jnp.int32)
         emission = mrow[:, 1:4]
+
+        if use_gather_shade and not static_first:
+            # ---- SCENE-SCALE fused shade (ops/pallas_shade_gather.py):
+            # XLA keeps the gathers (hit interpolation, texture taps, sky,
+            # sampler draws); ONE Mosaic kernel fuses all remaining
+            # per-bounce shade math. Mirrors the reference's material
+            # kernels at any scene size (Pathtracer.cu:465-773). Bounce 0
+            # stays on the XLA body below (AOVs, aniso texture gradients,
+            # demodulation are statically peeled there). ----
+            from gpu_raytracer_tpu.ops.pallas_shade_gather import (
+                shade_scene_pallas,
+            )
+
+            point, geom_n, shading_n, uv, p_obj, e1_obj, e2_obj = \
+                _interpolate_hit(tris, irow, hit)
+            entering = jnp.sum(ray_d * geom_n, axis=-1) < 0.0
+            flip = jnp.where(entering, 1.0, -1.0)[:, None]
+            geom_n = geom_n * flip
+            shading_n = shading_n * flip
+            tex_mul = jnp.ones((R, 3), jnp.float32)
+            if has_textures and config.enable_mipmapping:
+                # Isotropic ray-cone LOD (bounce >= 1 policy; the aniso
+                # gradients are bounce-0-only, see the XLA body below).
+                cone_width = cone_width + cone_angle * jnp.where(alive, hit.t, 0.0)
+                tex_id = mrow[:, 15].astype(jnp.int32)
+                e1w = _affine_dir_rows(irow[:, 0:12], e1_obj)
+                e2w = _affine_dir_rows(irow[:, 0:12], e2_obj)
+                double_area_world = jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
+                _r = tris["shade_rows"][ti]
+                uv_e1 = _r[:, 20:22] - _r[:, 18:20]
+                uv_e2 = _r[:, 22:24] - _r[:, 18:20]
+                double_area_tex = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1]
+                                          - uv_e2[:, 0] * uv_e1[:, 1])
+                from gpu_raytracer_tpu.ops.textures import sample_bilinear_lod
+
+                lod_tri = jnp.sqrt(double_area_tex
+                                   / jnp.maximum(double_area_world, 1e-20))
+                lod_cone = jnp.abs(cone_width / jnp.minimum(
+                    jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
+                tidc = jnp.maximum(tex_id, 0)
+                mip = (buffers["textures"]["base_lod"][tidc]
+                       + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
+                tex_rgb = sample_bilinear_lod(buffers["textures"], tex_id,
+                                              uv[:, 0], uv[:, 1], mip)
+                tex_mul = jnp.where((tex_id >= 0)[:, None], tex_rgb, 1.0)
+            sky_radiance = sample_sky(buffers["sky"], buffers["sky_scale"],
+                                      ray_d)
+            u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
+                            pixel_index, bounce, sample_index)
+            u_pick, _ = draw2(rng.SampleDimension.NEE_LIGHT,
+                              pixel_index, bounce, sample_index)
+            u_b1, u_b2 = draw2(rng.SampleDimension.NEE_TRIANGLE,
+                               pixel_index, bounce, sample_index)
+            u_f0, u_f1 = draw2(rng.SampleDimension.BSDF_0,
+                               pixel_index, bounce, sample_index)
+            u_c0, u_c1 = draw2(rng.SampleDimension.BSDF_1,
+                               pixel_index, bounce, sample_index)
+            params = jnp.stack([bounce.astype(jnp.float32),
+                                jnp.float32(config.num_bounces),
+                                lights["total_weight"],
+                                jnp.float32(0.0)])
+            lanes = {
+                "t": hit.t,
+                "mat_id": jnp.where(hit.tri >= 0, mat_id, -1),
+                "entering": entering,
+                "point": point,
+                "geom_n": geom_n,
+                "shading_n": shading_n,
+                "tex_mul": tex_mul,
+                "sky": sky_radiance,
+                "ray_d": ray_d,
+                "throughput": throughput,
+                "alive": alive,
+                "prev_allow_nee": prev_allow_nee,
+                "last_pdf": last_pdf,
+                "r5": u_rr, "r0": u_pick, "r1": u_b1, "r2": u_b2,
+                "f0": u_f0, "f1": u_f1, "r3": u_c0, "r4": u_c1,
+            }
+            if demodulate:
+                lanes["rr_albedo"] = rr_alb
+            out = shade_scene_pallas(
+                buffers["shade_gather"], params, lanes,
+                enable_nee=nee_possible, enable_mis=config.enable_mis,
+                enable_rr=config.enable_russian_roulette, demod=demodulate)
+            radiance = radiance + out["radiance_add"]
+            if with_aovs:
+                # radiance_add = sky + emissive only; at bounce 1 both count
+                # as direct light (the reference's bounce <= 1 rule).
+                direct = direct + jnp.where(early, out["radiance_add"], 0.0)
+            if nee_possible:
+                want = out["shadow_tmax"] > 0.0
+                rays_traced = rays_traced + jnp.sum(want)
+                if use_wide:
+                    from gpu_raytracer_tpu.ops.pallas_gang import (
+                        trace_any_gang,
+                    )
+
+                    occluded = trace_any_gang(
+                        *buffers["wide"], out["shadow_o"], out["shadow_d"],
+                        out["shadow_tmax"])
+                elif use_pallas:
+                    occluded = trace_any_pallas(
+                        *buffers["pallas"], out["shadow_o"], out["shadow_d"],
+                        out["shadow_tmax"])
+                else:
+                    occluded = trace_any_tlas(
+                        nodes, tris, instances, out["shadow_o"],
+                        out["shadow_d"], out["shadow_tmax"])
+                radiance = radiance + jnp.where((want & ~occluded)[:, None],
+                                                out["illumination"], 0.0)
+            new_alive = out["alive"]
+            ray_o = jnp.where(new_alive[:, None], out["ray_o"], ray_o)
+            ray_d = jnp.where(new_alive[:, None], out["ray_d"], ray_d)
+            return (ray_o, ray_d, radiance, out["throughput"], new_alive,
+                    out["prev_allow_nee"], out["last_pdf"], medium_id,
+                    cone_width, direct, rays_traced,
+                    *((rr_alb,) if demodulate else ())), aovs_out
 
         if with_aovs and static_first:
             # Primary-hit G-buffer for EVERY surface hit including emissive
@@ -757,11 +875,13 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("config", "width", "height", "seed",
                                     "has_lights", "has_textures", "has_media",
-                                    "use_pallas", "use_wide", "mat_types"))
+                                    "use_pallas", "use_wide",
+                                    "use_gather_shade", "mat_types"))
 def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                     vp_prev, taa_prev, is_first, config, width,
                     height, seed, has_lights, has_textures, has_media,
-                    use_pallas, use_wide, mat_types):
+                    use_pallas, use_wide, mat_types,
+                    use_gather_shade=False):
     """Trace + SVGF + TAA as one program (see render_frame_denoised)."""
     from gpu_raytracer_tpu.ops import svgf as svgf_ops
     from gpu_raytracer_tpu.ops import taa as taa_ops
@@ -770,6 +890,7 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                        width, seed, has_lights, has_textures=has_textures,
                        has_media=has_media, with_aovs=True,
                        use_pallas=use_pallas, use_wide=use_wide,
+                       use_gather_shade=use_gather_shade,
                        mat_types=mat_types)
 
     # Un-tile into (H, W) images: one scatter per AOV.
@@ -781,7 +902,9 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
     frame = {k: img(aovs[k]) for k in
              ("direct", "indirect", "albedo", "normal", "depth",
               "instance", "position_prev")}
-    colour, new_history = svgf_ops.svgf_step(frame, history, vp_prev, config)
+    colour, new_history = svgf_ops.svgf_step(
+        frame, history, vp_prev, config,
+        use_pallas=jax.default_backend() == "tpu")
 
     if config.enable_taa:
         taa_in = taa_ops.to_taa_space(jnp.maximum(colour, 0.0))
@@ -861,6 +984,19 @@ class Pathtracer:
                 and self.gpu_config.num_bounces <= 12)
 
     @property
+    def use_gather_shade(self) -> bool:
+        """The SCENE-SCALE fused shade megakernel
+        (ops/pallas_shade_gather.py): gathers stay in XLA, all remaining
+        per-bounce shade math runs in one Mosaic kernel. No size, texture
+        or sky gate — only the 5 core material types and no media. The
+        small-scene SMEM megakernel (use_pallas_shade) keeps priority when
+        it applies (it also fuses the gathers + sampler)."""
+        return (self.buffers is not None
+                and self.buffers.get("shade_gather") is not None
+                and jax.default_backend() == "tpu"
+                and not self.use_pallas_shade)
+
+    @property
     def use_wide(self) -> bool:
         """The block-synchronous wide-BVH kernel covers scene-scale tables
         (up to the VMEM budget, ~100 MB — Sponza class) on real TPU
@@ -934,6 +1070,7 @@ class Pathtracer:
                                  use_pallas=self.use_pallas,
                                  use_pallas_shade=self.use_pallas_shade,
                                  use_wide=self.use_wide and not self.use_pallas,
+                                 use_gather_shade=self.use_gather_shade,
                                  valid_mask=mask, mat_types=self.mat_types)
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
@@ -979,7 +1116,8 @@ class Pathtracer:
             self.gpu_config, W, H, self.cpu_config.seed,
             self.scene.has_lights, len(self.scene.textures) > 0,
             len(self.scene.mediums) > 0, self.use_pallas,
-            self.use_wide and not self.use_pallas, self.mat_types)
+            self.use_wide and not self.use_pallas, self.mat_types,
+            use_gather_shade=self.use_gather_shade)
         self.sample_index += 1
         self._vp_prev = jnp.asarray(self.scene.camera.view_projection)
         self.accumulator = colour.reshape(-1, 3)
@@ -1007,6 +1145,7 @@ class Pathtracer:
                                has_media=len(self.scene.mediums) > 0,
                                with_aovs=True, use_pallas=self.use_pallas,
                                use_wide=self.use_wide and not self.use_pallas,
+                               use_gather_shade=self.use_gather_shade,
                                mat_types=self.mat_types)
             for k in acc:
                 acc[k] = acc[k] + np.asarray(aovs[k])

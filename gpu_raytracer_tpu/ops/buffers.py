@@ -410,6 +410,7 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     }
     buffers["pallas"] = _pack_pallas(buffers)
     buffers["pallas_shade"] = _pack_pallas_shade(buffers, scene)
+    buffers["shade_gather"] = _pack_shade_gather(buffers, scene)
     geo.tri_geo = packed_tris.astype(np.float32)
     wide = _pack_wide(scene, geo, geo.tri_geo)
     buffers["wide"] = wide["tables"] if wide else None
@@ -554,6 +555,25 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
             "prim_map": jnp.asarray(prim_map)}
 
 
+def _mat_kc_tables(buffers: dict):
+    """(16, M) material table + (32, M) Kulla-Conty polynomial curves shared
+    by both fused shade kernels (ops/pallas_shade.py layout)."""
+    mats = buffers["materials"]
+    m = int(np.asarray(mats["type"]).shape[0])
+    mat_tbl = np.zeros((16, m), np.float32)
+    mat_tbl[0] = np.asarray(mats["type"], np.float32)
+    mat_tbl[1:4] = np.asarray(mats["emission_T"])
+    mat_tbl[4:7] = np.asarray(mats["diffuse_T"])
+    mat_tbl[7] = np.asarray(mats["roughness"])
+    mat_tbl[8] = np.asarray(mats["ior"])
+    mat_tbl[9:12] = np.asarray(mats["eta_T"])
+    mat_tbl[12:15] = np.asarray(mats["k_T"])
+    from gpu_raytracer_tpu.ops.kulla_conty import bake_material_curves
+
+    kc_tbl = bake_material_curves(buffers["luts"], mats)
+    return mat_tbl, kc_tbl
+
+
 def _pack_pallas_shade(buffers: dict, scene: Scene):
     """SMEM tables for the fused full-BSDF shade megakernel, or None when
     the scene falls outside its gate (ops/pallas_shade.py)."""
@@ -582,18 +602,7 @@ def _pack_pallas_shade(buffers: dict, scene: Scene):
     inst_a[12] = np.asarray(insts["material_id"], np.float32)
     inst_b = np.zeros((16, i), np.float32)
     inst_b[0:12] = np.asarray(insts["inv_T"])
-    m = int(np.asarray(mats["type"]).shape[0])
-    mat_tbl = np.zeros((16, m), np.float32)
-    mat_tbl[0] = np.asarray(mats["type"], np.float32)
-    mat_tbl[1:4] = np.asarray(mats["emission_T"])
-    mat_tbl[4:7] = np.asarray(mats["diffuse_T"])
-    mat_tbl[7] = np.asarray(mats["roughness"])
-    mat_tbl[8] = np.asarray(mats["ior"])
-    mat_tbl[9:12] = np.asarray(mats["eta_T"])
-    mat_tbl[12:15] = np.asarray(mats["k_T"])
-    from gpu_raytracer_tpu.ops.kulla_conty import bake_material_curves
-
-    kc_tbl = bake_material_curves(buffers["luts"], mats)
+    mat_tbl, kc_tbl = _mat_kc_tables(buffers)
     lgt_tbl = np.zeros((16, l), np.float32)
     lgt_tbl[0] = np.asarray(lights["cdf"])
     lgt_tbl[1] = np.asarray(lights["tri"], np.float32)
@@ -601,6 +610,54 @@ def _pack_pallas_shade(buffers: dict, scene: Scene):
     return (tri_geo, jnp.asarray(tri_nrm), jnp.asarray(inst_a),
             jnp.asarray(inst_b), jnp.asarray(mat_tbl), jnp.asarray(kc_tbl),
             jnp.asarray(lgt_tbl))
+
+
+def _pack_shade_gather(buffers: dict, scene: Scene):
+    """SMEM tables for the SCENE-SCALE gathered-input shade megakernel
+    (ops/pallas_shade_gather.py), or None outside its gate. Light geometry
+    is pre-transformed to world space so the kernel needs no triangle or
+    instance fetch — refreshed with the TLAS on scene edits."""
+    from gpu_raytracer_tpu.ops import pallas_shade_gather as psg
+
+    mats = buffers["materials"]
+    lights = buffers["lights"]
+    m = int(np.asarray(mats["type"]).shape[0])
+    l = int(np.asarray(lights["tri"]).shape[0])
+    if not psg.supports_gather_shade(np.asarray(mats["type"]), m, l,
+                                     len(scene.mediums) > 0):
+        return None
+    mat_tbl, kc_tbl = _mat_kc_tables(buffers)
+
+    tris = buffers["tris"]
+    insts = buffers["instances"]
+    lt = np.asarray(lights["tri"])
+    li = np.asarray(lights["inst"])
+    p0 = np.asarray(tris["p0"])[lt]
+    e1 = np.asarray(tris["e1"])[lt]
+    e2 = np.asarray(tris["e2"])[lt]
+    f = np.asarray(insts["fwd_T"])[:, li]  # (12, L)
+
+    def apt(p):
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        return np.stack([f[0] * x + f[1] * y + f[2] * z + f[3],
+                         f[4] * x + f[5] * y + f[6] * z + f[7],
+                         f[8] * x + f[9] * y + f[10] * z + f[11]])
+
+    def adr(p):
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        return np.stack([f[0] * x + f[1] * y + f[2] * z,
+                         f[4] * x + f[5] * y + f[6] * z,
+                         f[8] * x + f[9] * y + f[10] * z])
+
+    mat_id = np.asarray(insts["material_id"])[li]
+    em = np.asarray(buffers["materials"]["emission"])[mat_id]
+    lgt_tbl = np.zeros((16, l), np.float32)
+    lgt_tbl[0] = np.asarray(lights["cdf"])
+    lgt_tbl[1:4] = apt(p0)
+    lgt_tbl[4:7] = adr(e1)
+    lgt_tbl[7:10] = adr(e2)
+    lgt_tbl[10:13] = em.T
+    return (jnp.asarray(mat_tbl), jnp.asarray(kc_tbl), jnp.asarray(lgt_tbl))
 
 
 def _pack_pallas(buffers: dict):
@@ -648,6 +705,8 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
         out["pallas"] = _pack_pallas(out)
     if buffers.get("pallas_shade") is not None:
         out["pallas_shade"] = _pack_pallas_shade(out, scene)
+    if buffers.get("shade_gather") is not None:
+        out["shade_gather"] = _pack_shade_gather(out, scene)
     if buffers.get("wide") is not None:
         # Per-mesh wide BLAS collapses are cached on the MeshData; only the
         # TLAS head + instance rows are re-derived here (the merged static

@@ -409,6 +409,253 @@ def _conductor_at(ix, iy, iz, ox, oy, oz, mx, my, mz, alpha,
     return val, pdf, o_dot_m
 
 
+def make_lane_materials(mtype, al3, rough, ior, eta3, k3, kc, entering):
+    """Per-lane BSDF constants shared by the NEE eval and sample dispatches
+    (reference BSDF.h per-material setup; Kulla-Conty curves are the
+    per-material polynomial fits, see kulla_conty.bake_material_curves).
+    `kc` is the list of 32 per-lane curve coefficients; `entering` the
+    two-sided orientation mask."""
+    alpha = jnp.maximum(rough * rough, 1e-4)
+    eta_d = jnp.where(entering, 1.0 / ior, ior)
+    m = {
+        "is_diffuse": mtype == _MAT_DIFFUSE,
+        "is_plastic": mtype == _MAT_PLASTIC,
+        "is_diel": mtype == _MAT_DIELECTRIC,
+        "is_cond": mtype == _MAT_CONDUCTOR,
+        "al": al3,
+        "alpha": alpha,
+        "eta_d": eta_d,
+        "eta3": eta3,
+        "k3": k3,
+        "kc": kc,
+        "entering": entering,
+        "ratio_d": jnp.where(entering, kc[26], kc[27]),
+        "E_avg_same": jnp.where(entering, kc[24], kc[25]),
+        "E_avg_inv": jnp.where(entering, kc[25], kc[24]),
+        "E_avg_c": kc[31],
+        "fms": (kc[28], kc[29], kc[30]),
+        "can_nee": ~(((mtype == _MAT_DIELECTRIC) | (mtype == _MAT_CONDUCTOR))
+                     & (rough < _ROUGH_CUTOFF)),
+    }
+    return m
+
+
+def _lane_E_i(m, wiz):
+    """Directional albedos at the incident angle (dielectric + conductor)."""
+    kc = m["kc"]
+    entering = m["entering"]
+    E_i_d = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
+                             for k in range(8)], wiz), 0.0, 1.0)
+    E_i_c = jnp.clip(_poly8([kc[16 + k] for k in range(8)], wiz), 0.0, 1.0)
+    return E_i_d, E_i_c
+
+
+def nee_eval_dispatch(m, wi, lo):
+    """Compute-all-select BSDF eval toward a light direction in LOCAL frame
+    (ops/bsdf.bsdf_eval semantics; diffuse albedo folded by the caller).
+    `wi`/`lo` are (x, y, z) lane tuples. Returns ((r, g, b), pdf, ok)."""
+    wix, wiy, wiz = wi
+    lox, loy, loz = lo
+    al_r, al_g, al_b = m["al"]
+    alpha = m["alpha"]
+    eta_d = m["eta_d"]
+    kc = m["kc"]
+    entering = m["entering"]
+    E_i_d, E_i_c = _lane_E_i(m, wiz)
+    is_plastic, is_diel, is_cond = m["is_plastic"], m["is_diel"], m["is_cond"]
+
+    # diffuse
+    val_dif = jnp.maximum(loz, 0.0) * (1.0 / _PI)
+    ev_r, ev_g, ev_b = val_dif, val_dif, val_dif
+    ev_pdf = val_dif
+    ev_ok = loz > 0.0
+    # plastic
+    hmx, hmy, hmz = _halfway(wix, wiy, wiz, lox, loy, loz)
+    (pv_r, pv_g, pv_b), p_pdf, _ = _plastic_at(
+        wix, wiy, wiz, lox, loy, loz, hmx, hmy, hmz, alpha,
+        (al_r, al_g, al_b))
+    ev_r = jnp.where(is_plastic, pv_r, ev_r)
+    ev_g = jnp.where(is_plastic, pv_g, ev_g)
+    ev_b = jnp.where(is_plastic, pv_b, ev_b)
+    ev_pdf = jnp.where(is_plastic, p_pdf, ev_pdf)
+    ev_ok = ((is_plastic & (loz > 0.0) & _pdf_ok(p_pdf))
+             | (~is_plastic & ev_ok))
+    # dielectric
+    refl = loz >= 0.0
+    tmx = eta_d * wix + lox
+    tmy = eta_d * wiy + loy
+    tmz = eta_d * wiz + loz
+    tmx, tmy, tmz = _norm3t(tmx, tmy, tmz)
+    dmx = jnp.where(refl, hmx, tmx)
+    dmy = jnp.where(refl, hmy, tmy)
+    dmz = jnp.where(refl, hmz, tmz)
+    flip_m = jnp.where(dmz >= 0.0, 1.0, -1.0)
+    dmx, dmy, dmz = dmx * flip_m, dmy * flip_m, dmz * flip_m
+    E_o_r = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
+                             for k in range(8)], jnp.abs(loz)),
+                     0.0, 1.0)
+    E_o_t = jnp.clip(_poly8([jnp.where(entering, kc[8 + k], kc[k])
+                             for k in range(8)], jnp.abs(loz)),
+                     0.0, 1.0)
+    dv, d_pdf = _dielectric_at(wix, wiy, wiz, lox, loy, loz,
+                               dmx, dmy, dmz, refl, alpha, eta_d,
+                               E_i_d, E_o_r, E_o_t, m["ratio_d"],
+                               m["E_avg_same"], m["E_avg_inv"])
+    ev_r = jnp.where(is_diel, dv, ev_r)
+    ev_g = jnp.where(is_diel, dv, ev_g)
+    ev_b = jnp.where(is_diel, dv, ev_b)
+    ev_pdf = jnp.where(is_diel, d_pdf, ev_pdf)
+    ev_ok = (is_diel & _pdf_ok(d_pdf)) | (~is_diel & ev_ok)
+    # conductor
+    E_o_c = jnp.clip(_poly8([kc[16 + k] for k in range(8)],
+                            jnp.abs(loz)), 0.0, 1.0)
+    (cv_r, cv_g, cv_b), c_pdf, c_odm = _conductor_at(
+        wix, wiy, wiz, lox, loy, loz, hmx, hmy, hmz, alpha,
+        m["eta3"], m["k3"], E_i_c, E_o_c, m["E_avg_c"], m["fms"])
+    ev_r = jnp.where(is_cond, cv_r, ev_r)
+    ev_g = jnp.where(is_cond, cv_g, ev_g)
+    ev_b = jnp.where(is_cond, cv_b, ev_b)
+    ev_pdf = jnp.where(is_cond, c_pdf, ev_pdf)
+    ev_ok = ((is_cond & (loz > 0.0) & (c_odm > 0.0)
+              & _pdf_ok(c_pdf)) | (~is_cond & ev_ok))
+    return (ev_r, ev_g, ev_b), ev_pdf, ev_ok
+
+
+def bsdf_sample_dispatch(m, wi, f0, f1, r3, r4):
+    """Compute-all-select BSDF sample in the LOCAL frame
+    (Pathtracer.cu:745-756; mirrors ops/bsdf.bsdf_sample). Returns
+    ((ox, oy, oz) local out direction, pdf, (mul_r, g, b) throughput
+    multiplier, valid)."""
+    wix, wiy, wiz = wi
+    al_r, al_g, al_b = m["al"]
+    alpha = m["alpha"]
+    eta_d = m["eta_d"]
+    kc = m["kc"]
+    entering = m["entering"]
+    E_i_d, E_i_c = _lane_E_i(m, wiz)
+    is_plastic, is_diel, is_cond = m["is_plastic"], m["is_diel"], m["is_cond"]
+
+    # diffuse: cosine hemisphere
+    sx, sy = _sample_disk(r3, r4)
+    sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - sx * sx - sy * sy))
+    pdf_dif = jnp.maximum(sz, 1e-8) * (1.0 / _PI)
+    ox_s, oy_s, oz_s = sx, sy, sz
+    pdf = pdf_dif
+    mul_r = jnp.ones(SHAPE, jnp.float32)
+    mul_g = jnp.ones(SHAPE, jnp.float32)
+    mul_b = jnp.ones(SHAPE, jnp.float32)
+    valid = _pdf_ok(pdf_dif)
+
+    # one VNDF microfacet shared by the specular lobes (same draws)
+    vmx, vmy, vmz = _vndf_sample(wix, wiy, wiz, alpha, r3, r4)
+
+    # plastic (BSDF.h:122-137)
+    if True:
+        F_i_p = _fres_diel(wiz, _PLASTIC_ETA)
+        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
+        pick = f0 < F_i_p
+        pox = jnp.where(pick, rx, sx)
+        poy = jnp.where(pick, ry, sy)
+        poz = jnp.where(pick, rz, sz)
+        dhx, dhy, dhz = _halfway(wix, wiy, wiz, sx, sy, sz)
+        pmx = jnp.where(pick, vmx, dhx)
+        pmy = jnp.where(pick, vmy, dhy)
+        pmz = jnp.where(pick, vmz, dhz)
+        (pv_r, pv_g, pv_b), p_pdf, _ = _plastic_at(
+            wix, wiy, wiz, pox, poy, poz, pmx, pmy, pmz, alpha,
+            (al_r, al_g, al_b))
+        p_ok = (pmz >= 0.0) & (poz > 0.0) & _pdf_ok(p_pdf)
+        inv_pp = 1.0 / jnp.maximum(p_pdf, 1e-8)
+        ox_s = jnp.where(is_plastic, pox, ox_s)
+        oy_s = jnp.where(is_plastic, poy, oy_s)
+        oz_s = jnp.where(is_plastic, poz, oz_s)
+        pdf = jnp.where(is_plastic, p_pdf, pdf)
+        mul_r = jnp.where(is_plastic, pv_r * inv_pp, mul_r)
+        mul_g = jnp.where(is_plastic, pv_g * inv_pp, mul_g)
+        mul_b = jnp.where(is_plastic, pv_b * inv_pp, mul_b)
+        valid = (is_plastic & p_ok) | (~is_plastic & valid)
+
+    # dielectric (BSDF.h:219-255): single (VNDF+fresnel) vs multi (cosine)
+    if True:
+        ratio_d = m["ratio_d"]
+        F_s = _fres_diel(jnp.abs(wix * vmx + wiy * vmy + wiz * vmz), eta_d)
+        refl_s = f1 < F_s
+        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
+        tx2, ty2, tz2 = _refract(wix, wiy, wiz, vmx, vmy, vmz, eta_d)
+        s1x = jnp.where(refl_s, rx, tx2)
+        s1y = jnp.where(refl_s, ry, ty2)
+        s1z = jnp.where(refl_s, rz, tz2)
+        # multi branch: cosine lobe, hemisphere by ratio
+        refl_m = f1 > ratio_d
+        moz = sz * jnp.where(refl_m, 1.0, -1.0)
+        mhx, mhy, mhz = _halfway(wix, wiy, wiz, sx, sy, moz)
+        ttx = eta_d * wix + sx
+        tty = eta_d * wiy + sy
+        ttz = eta_d * wiz + moz
+        ttx, tty, ttz = _norm3t(ttx, tty, ttz)
+        mmx = jnp.where(refl_m, mhx, ttx)
+        mmy = jnp.where(refl_m, mhy, tty)
+        mmz = jnp.where(refl_m, mhz, ttz)
+        single = f0 < E_i_d
+        gox = jnp.where(single, s1x, sx)
+        goy = jnp.where(single, s1y, sy)
+        goz = jnp.where(single, s1z, moz)
+        gmx = jnp.where(single, vmx, mmx)
+        gmy = jnp.where(single, vmy, mmy)
+        gmz = jnp.where(single, vmz, mmz)
+        mflip = jnp.where(gmz >= 0.0, 1.0, -1.0)
+        gmx, gmy, gmz = gmx * mflip, gmy * mflip, gmz * mflip
+        refl = (single & refl_s) | (~single & refl_m)
+        E_o_rs = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
+                                  for k in range(8)], jnp.abs(goz)), 0.0, 1.0)
+        E_o_ts = jnp.clip(_poly8([jnp.where(entering, kc[8 + k], kc[k])
+                                  for k in range(8)], jnp.abs(goz)), 0.0, 1.0)
+        dv, d_pdf = _dielectric_at(wix, wiy, wiz, gox, goy, goz,
+                                   gmx, gmy, gmz, refl, alpha, eta_d,
+                                   E_i_d, E_o_rs, E_o_ts, ratio_d,
+                                   m["E_avg_same"], m["E_avg_inv"])
+        hemi_ok = refl == (goz >= 0.0)
+        d_ok = hemi_ok & _pdf_ok(d_pdf)
+        d_mul = dv / jnp.maximum(d_pdf, 1e-8)
+        ox_s = jnp.where(is_diel, gox, ox_s)
+        oy_s = jnp.where(is_diel, goy, oy_s)
+        oz_s = jnp.where(is_diel, goz, oz_s)
+        pdf = jnp.where(is_diel, d_pdf, pdf)
+        mul_r = jnp.where(is_diel, d_mul, mul_r)
+        mul_g = jnp.where(is_diel, d_mul, mul_g)
+        mul_b = jnp.where(is_diel, d_mul, mul_b)
+        valid = (is_diel & d_ok) | (~is_diel & valid)
+
+    # conductor (BSDF.h:296-312)
+    if True:
+        single_c = f0 < E_i_c
+        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
+        cox = jnp.where(single_c, rx, sx)
+        coy = jnp.where(single_c, ry, sy)
+        coz = jnp.where(single_c, rz, sz)
+        dhx, dhy, dhz = _halfway(wix, wiy, wiz, sx, sy, sz)
+        cmx = jnp.where(single_c, vmx, dhx)
+        cmy = jnp.where(single_c, vmy, dhy)
+        cmz = jnp.where(single_c, vmz, dhz)
+        E_o_cs = jnp.clip(_poly8([kc[16 + k] for k in range(8)],
+                                 jnp.abs(coz)), 0.0, 1.0)
+        (cv_r, cv_g, cv_b), c_pdf, c_odm = _conductor_at(
+            wix, wiy, wiz, cox, coy, coz, cmx, cmy, cmz, alpha,
+            m["eta3"], m["k3"], E_i_c, E_o_cs, m["E_avg_c"], m["fms"])
+        c_ok = (c_odm > 0.0) & (coz >= 0.0) & _pdf_ok(c_pdf)
+        inv_cp = 1.0 / jnp.maximum(c_pdf, 1e-8)
+        ox_s = jnp.where(is_cond, cox, ox_s)
+        oy_s = jnp.where(is_cond, coy, oy_s)
+        oz_s = jnp.where(is_cond, coz, oz_s)
+        pdf = jnp.where(is_cond, c_pdf, pdf)
+        mul_r = jnp.where(is_cond, cv_r * inv_cp, mul_r)
+        mul_g = jnp.where(is_cond, cv_g * inv_cp, mul_g)
+        mul_b = jnp.where(is_cond, cv_b * inv_cp, mul_b)
+        valid = (is_cond & c_ok) | (~is_cond & valid)
+
+    return (ox_s, oy_s, oz_s), pdf, (mul_r, mul_g, mul_b), valid
+
+
 def _kernel(enable_nee, enable_mis, enable_rr,
             params_ref, tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, kc_tbl,
             lgt_tbl, tile16_ref, noise_x, noise_y,
@@ -563,21 +810,11 @@ def _kernel(enable_nee, enable_mis, enable_rr,
 
     # Per-lane BSDF constants (reference BSDF.h; Kulla-Conty curves are the
     # per-material polynomial fits, see bake_material_curves).
-    alpha = jnp.maximum(rough * rough, 1e-4)
-    eta_d = jnp.where(entering, 1.0 / ior, ior)
-    E_i_d = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
-                             for k in range(8)], wiz), 0.0, 1.0)
-    ratio_d = jnp.where(entering, kc[26], kc[27])
-    E_avg_same = jnp.where(entering, kc[24], kc[25])
-    E_avg_inv = jnp.where(entering, kc[25], kc[24])
-    E_i_c = jnp.clip(_poly8([kc[16 + k] for k in range(8)], wiz), 0.0, 1.0)
-    E_avg_c = kc[31]
-    fms_r, fms_g, fms_b = kc[28], kc[29], kc[30]
-    is_diffuse = mtype == _MAT_DIFFUSE
-    is_plastic = mtype == _MAT_PLASTIC
-    is_diel = mtype == _MAT_DIELECTRIC
-    is_cond = mtype == _MAT_CONDUCTOR
-    can_nee = ~((is_diel | is_cond) & (rough < _ROUGH_CUTOFF))
+    mlane = make_lane_materials(mtype, (al_r, al_g, al_b), rough, ior,
+                                (eta_r, eta_g, eta_b), (kk_r, kk_g, kk_b),
+                                kc, entering)
+    is_diffuse = mlane["is_diffuse"]
+    can_nee = mlane["can_nee"]
 
     # Diffuse folds albedo into throughput at the hit (reference calc_albedo).
     fold = active & (mtype == _MAT_DIFFUSE)
@@ -636,64 +873,8 @@ def _kernel(enable_nee, enable_mis, enable_rr,
         loy = sdx * bx + sdy * by + sdz * bz
         loz = sdx * snx + sdy * sny + sdz * snz
 
-        # diffuse
-        val_dif = jnp.maximum(loz, 0.0) * (1.0 / _PI)
-        ev_r, ev_g, ev_b = val_dif, val_dif, val_dif
-        ev_pdf = val_dif
-        ev_ok = loz > 0.0
-        # plastic
-        if True:
-            hmx, hmy, hmz = _halfway(wix, wiy, wiz, lox, loy, loz)
-            (pv_r, pv_g, pv_b), p_pdf, _ = _plastic_at(
-                wix, wiy, wiz, lox, loy, loz, hmx, hmy, hmz, alpha,
-                (al_r, al_g, al_b))
-            ev_r = jnp.where(is_plastic, pv_r, ev_r)
-            ev_g = jnp.where(is_plastic, pv_g, ev_g)
-            ev_b = jnp.where(is_plastic, pv_b, ev_b)
-            ev_pdf = jnp.where(is_plastic, p_pdf, ev_pdf)
-            ev_ok = ((is_plastic & (loz > 0.0) & _pdf_ok(p_pdf))
-                     | (~is_plastic & ev_ok))
-        # dielectric
-        if True:
-            refl = loz >= 0.0
-            tmx = eta_d * wix + lox
-            tmy = eta_d * wiy + loy
-            tmz = eta_d * wiz + loz
-            tmx, tmy, tmz = _norm3t(tmx, tmy, tmz)
-            dmx = jnp.where(refl, hmx, tmx)
-            dmy = jnp.where(refl, hmy, tmy)
-            dmz = jnp.where(refl, hmz, tmz)
-            flip_m = jnp.where(dmz >= 0.0, 1.0, -1.0)
-            dmx, dmy, dmz = dmx * flip_m, dmy * flip_m, dmz * flip_m
-            E_o_r = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
-                                     for k in range(8)], jnp.abs(loz)),
-                             0.0, 1.0)
-            E_o_t = jnp.clip(_poly8([jnp.where(entering, kc[8 + k], kc[k])
-                                     for k in range(8)], jnp.abs(loz)),
-                             0.0, 1.0)
-            dv, d_pdf = _dielectric_at(wix, wiy, wiz, lox, loy, loz,
-                                       dmx, dmy, dmz, refl, alpha, eta_d,
-                                       E_i_d, E_o_r, E_o_t, ratio_d,
-                                       E_avg_same, E_avg_inv)
-            ev_r = jnp.where(is_diel, dv, ev_r)
-            ev_g = jnp.where(is_diel, dv, ev_g)
-            ev_b = jnp.where(is_diel, dv, ev_b)
-            ev_pdf = jnp.where(is_diel, d_pdf, ev_pdf)
-            ev_ok = (is_diel & _pdf_ok(d_pdf)) | (~is_diel & ev_ok)
-        # conductor
-        if True:
-            E_o_c = jnp.clip(_poly8([kc[16 + k] for k in range(8)],
-                                    jnp.abs(loz)), 0.0, 1.0)
-            (cv_r, cv_g, cv_b), c_pdf, c_odm = _conductor_at(
-                wix, wiy, wiz, lox, loy, loz, hmx, hmy, hmz, alpha,
-                (eta_r, eta_g, eta_b), (kk_r, kk_g, kk_b),
-                E_i_c, E_o_c, E_avg_c, (fms_r, fms_g, fms_b))
-            ev_r = jnp.where(is_cond, cv_r, ev_r)
-            ev_g = jnp.where(is_cond, cv_g, ev_g)
-            ev_b = jnp.where(is_cond, cv_b, ev_b)
-            ev_pdf = jnp.where(is_cond, c_pdf, ev_pdf)
-            ev_ok = ((is_cond & (loz > 0.0) & (c_odm > 0.0)
-                      & _pdf_ok(c_pdf)) | (~is_cond & ev_ok))
+        (ev_r, ev_g, ev_b), ev_pdf, ev_ok = nee_eval_dispatch(
+            mlane, (wix, wiy, wiz), (lox, loy, loz))
 
         llum = 0.2126 * lem_r + 0.7152 * lem_g + 0.0722 * lem_b
         light_pdf = (llum * dist * dist
@@ -714,125 +895,8 @@ def _kernel(enable_nee, enable_mis, enable_rr,
 
     # ---- BSDF sample -> continuation ray (Pathtracer.cu:745-756;
     # compute-all-select dispatch mirroring ops/bsdf.bsdf_sample) ----
-    # diffuse: cosine hemisphere
-    sx, sy = _sample_disk(r3, r4)
-    sz = jnp.sqrt(jnp.maximum(0.0, 1.0 - sx * sx - sy * sy))
-    pdf_dif = jnp.maximum(sz, 1e-8) * (1.0 / _PI)
-    ox_s, oy_s, oz_s = sx, sy, sz
-    pdf = pdf_dif
-    mul_r = jnp.ones(SHAPE, jnp.float32)
-    mul_g = jnp.ones(SHAPE, jnp.float32)
-    mul_b = jnp.ones(SHAPE, jnp.float32)
-    valid = _pdf_ok(pdf_dif)
-
-    # one VNDF microfacet shared by the specular lobes (same draws)
-    vmx, vmy, vmz = _vndf_sample(wix, wiy, wiz, alpha, r3, r4)
-
-    # plastic (BSDF.h:122-137)
-    if True:
-        F_i_p = _fres_diel(wiz, _PLASTIC_ETA)
-        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
-        pick = f0 < F_i_p
-        pox = jnp.where(pick, rx, sx)
-        poy = jnp.where(pick, ry, sy)
-        poz = jnp.where(pick, rz, sz)
-        dhx, dhy, dhz = _halfway(wix, wiy, wiz, sx, sy, sz)
-        pmx = jnp.where(pick, vmx, dhx)
-        pmy = jnp.where(pick, vmy, dhy)
-        pmz = jnp.where(pick, vmz, dhz)
-        (pv_r, pv_g, pv_b), p_pdf, _ = _plastic_at(
-            wix, wiy, wiz, pox, poy, poz, pmx, pmy, pmz, alpha,
-            (al_r, al_g, al_b))
-        p_ok = (pmz >= 0.0) & (poz > 0.0) & _pdf_ok(p_pdf)
-        inv_pp = 1.0 / jnp.maximum(p_pdf, 1e-8)
-        ox_s = jnp.where(is_plastic, pox, ox_s)
-        oy_s = jnp.where(is_plastic, poy, oy_s)
-        oz_s = jnp.where(is_plastic, poz, oz_s)
-        pdf = jnp.where(is_plastic, p_pdf, pdf)
-        mul_r = jnp.where(is_plastic, pv_r * inv_pp, mul_r)
-        mul_g = jnp.where(is_plastic, pv_g * inv_pp, mul_g)
-        mul_b = jnp.where(is_plastic, pv_b * inv_pp, mul_b)
-        valid = (is_plastic & p_ok) | (~is_plastic & valid)
-
-    # dielectric (BSDF.h:219-255): single (VNDF+fresnel) vs multi (cosine)
-    is_trans = jnp.zeros(SHAPE, bool)
-    if True:
-        F_s = _fres_diel(jnp.abs(wix * vmx + wiy * vmy + wiz * vmz), eta_d)
-        refl_s = f1 < F_s
-        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
-        tx2, ty2, tz2 = _refract(wix, wiy, wiz, vmx, vmy, vmz, eta_d)
-        s1x = jnp.where(refl_s, rx, tx2)
-        s1y = jnp.where(refl_s, ry, ty2)
-        s1z = jnp.where(refl_s, rz, tz2)
-        # multi branch: cosine lobe, hemisphere by ratio
-        refl_m = f1 > ratio_d
-        moz = sz * jnp.where(refl_m, 1.0, -1.0)
-        mhx, mhy, mhz = _halfway(wix, wiy, wiz, sx, sy, moz)
-        ttx = eta_d * wix + sx
-        tty = eta_d * wiy + sy
-        ttz = eta_d * wiz + moz
-        ttx, tty, ttz = _norm3t(ttx, tty, ttz)
-        mmx = jnp.where(refl_m, mhx, ttx)
-        mmy = jnp.where(refl_m, mhy, tty)
-        mmz = jnp.where(refl_m, mhz, ttz)
-        single = f0 < E_i_d
-        gox = jnp.where(single, s1x, sx)
-        goy = jnp.where(single, s1y, sy)
-        goz = jnp.where(single, s1z, moz)
-        gmx = jnp.where(single, vmx, mmx)
-        gmy = jnp.where(single, vmy, mmy)
-        gmz = jnp.where(single, vmz, mmz)
-        mflip = jnp.where(gmz >= 0.0, 1.0, -1.0)
-        gmx, gmy, gmz = gmx * mflip, gmy * mflip, gmz * mflip
-        refl = (single & refl_s) | (~single & refl_m)
-        E_o_rs = jnp.clip(_poly8([jnp.where(entering, kc[k], kc[8 + k])
-                                  for k in range(8)], jnp.abs(goz)), 0.0, 1.0)
-        E_o_ts = jnp.clip(_poly8([jnp.where(entering, kc[8 + k], kc[k])
-                                  for k in range(8)], jnp.abs(goz)), 0.0, 1.0)
-        dv, d_pdf = _dielectric_at(wix, wiy, wiz, gox, goy, goz,
-                                   gmx, gmy, gmz, refl, alpha, eta_d,
-                                   E_i_d, E_o_rs, E_o_ts, ratio_d,
-                                   E_avg_same, E_avg_inv)
-        hemi_ok = refl == (goz >= 0.0)
-        d_ok = hemi_ok & _pdf_ok(d_pdf)
-        d_mul = dv / jnp.maximum(d_pdf, 1e-8)
-        ox_s = jnp.where(is_diel, gox, ox_s)
-        oy_s = jnp.where(is_diel, goy, oy_s)
-        oz_s = jnp.where(is_diel, goz, oz_s)
-        pdf = jnp.where(is_diel, d_pdf, pdf)
-        mul_r = jnp.where(is_diel, d_mul, mul_r)
-        mul_g = jnp.where(is_diel, d_mul, mul_g)
-        mul_b = jnp.where(is_diel, d_mul, mul_b)
-        valid = (is_diel & d_ok) | (~is_diel & valid)
-        is_trans = is_diel & ~refl
-
-    # conductor (BSDF.h:296-312)
-    if True:
-        single_c = f0 < E_i_c
-        rx, ry, rz = _reflect(wix, wiy, wiz, vmx, vmy, vmz)
-        cox = jnp.where(single_c, rx, sx)
-        coy = jnp.where(single_c, ry, sy)
-        coz = jnp.where(single_c, rz, sz)
-        dhx, dhy, dhz = _halfway(wix, wiy, wiz, sx, sy, sz)
-        cmx = jnp.where(single_c, vmx, dhx)
-        cmy = jnp.where(single_c, vmy, dhy)
-        cmz = jnp.where(single_c, vmz, dhz)
-        E_o_cs = jnp.clip(_poly8([kc[16 + k] for k in range(8)],
-                                 jnp.abs(coz)), 0.0, 1.0)
-        (cv_r, cv_g, cv_b), c_pdf, c_odm = _conductor_at(
-            wix, wiy, wiz, cox, coy, coz, cmx, cmy, cmz, alpha,
-            (eta_r, eta_g, eta_b), (kk_r, kk_g, kk_b),
-            E_i_c, E_o_cs, E_avg_c, (fms_r, fms_g, fms_b))
-        c_ok = (c_odm > 0.0) & (coz >= 0.0) & _pdf_ok(c_pdf)
-        inv_cp = 1.0 / jnp.maximum(c_pdf, 1e-8)
-        ox_s = jnp.where(is_cond, cox, ox_s)
-        oy_s = jnp.where(is_cond, coy, oy_s)
-        oz_s = jnp.where(is_cond, coz, oz_s)
-        pdf = jnp.where(is_cond, c_pdf, pdf)
-        mul_r = jnp.where(is_cond, cv_r * inv_cp, mul_r)
-        mul_g = jnp.where(is_cond, cv_g * inv_cp, mul_g)
-        mul_b = jnp.where(is_cond, cv_b * inv_cp, mul_b)
-        valid = (is_cond & c_ok) | (~is_cond & valid)
+    (ox_s, oy_s, oz_s), pdf, (mul_r, mul_g, mul_b), valid = \
+        bsdf_sample_dispatch(mlane, (wix, wiy, wiz), f0, f1, r3, r4)
 
     active = active & valid
     tpx = jnp.where(active, tpx * mul_r, tpx)

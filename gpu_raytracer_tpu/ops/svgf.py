@@ -336,8 +336,13 @@ def finalize(direct, indirect, albedo, modulate: bool = True):
 
 
 def svgf_step(frame: dict, history: SVGFHistory, view_projection_prev,
-              config) -> tuple:
-    """Full SVGF frame: returns (filtered colour (H, W, 3), new history)."""
+              config, use_pallas: bool = False) -> tuple:
+    """Full SVGF frame: returns (filtered colour (H, W, 3), new history).
+
+    `use_pallas` routes the spatial stages (variance estimate + atrous)
+    through the fused stencil kernels (ops/pallas_svgf.py) — the TPU analog
+    of the reference's svgf_variance/atrous kernels; reproject stays in XLA
+    (it is a gather, not a stencil)."""
     H, W = frame["depth"].shape
     screen_prev = project_to_screen(frame["position_prev"],
                                     view_projection_prev, W, H)
@@ -354,12 +359,22 @@ def svgf_step(frame: dict, history: SVGFHistory, view_projection_prev,
 
     integrated = reproject(frame, history, screen_prev,
                            config.svgf_alpha_colour, config.svgf_alpha_moments)
-    if config.enable_spatial_variance:
-        integrated = spatial_variance(frame, integrated, config.svgf_sigma_z,
-                                      config.svgf_sigma_n, config.svgf_sigma_l)
-    direct, indirect, (fb_direct, fb_indirect) = atrous(
-        frame, integrated, config.svgf_atrous_iterations, 1,
-        config.svgf_sigma_z, config.svgf_sigma_n, config.svgf_sigma_l)
+    if use_pallas and (1 << max(config.svgf_atrous_iterations - 1, 0)) <= 32:
+        from gpu_raytracer_tpu.ops.pallas_svgf import svgf_spatial_pallas
+
+        direct, indirect, (fb_direct, fb_indirect) = svgf_spatial_pallas(
+            frame, integrated, config.svgf_atrous_iterations, 1,
+            config.svgf_sigma_z, config.svgf_sigma_n, config.svgf_sigma_l,
+            spatial_variance=config.enable_spatial_variance)
+    else:
+        if config.enable_spatial_variance:
+            integrated = spatial_variance(frame, integrated,
+                                          config.svgf_sigma_z,
+                                          config.svgf_sigma_n,
+                                          config.svgf_sigma_l)
+        direct, indirect, (fb_direct, fb_indirect) = atrous(
+            frame, integrated, config.svgf_atrous_iterations, 1,
+            config.svgf_sigma_z, config.svgf_sigma_n, config.svgf_sigma_l)
 
     colour = finalize(direct, indirect, frame["albedo"], config.modulate_albedo)
 
