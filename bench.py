@@ -48,13 +48,17 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
                  and W % 32 == 0 and H % 32 == 0 and num_bounces <= 12)
     use_wide = (buffers.get("wide") is not None and on_tpu
                 and not use_pallas)
+    use_gather = (buffers.get("shade_gather") is not None and on_tpu
+                  and not use_shade)
+    use_stream = buffers.get("wide_stream") is not None and on_tpu
 
     def sample(camera, s):
         return render_wave(buffers, camera, pixel_index, s, config, W, 0,
                            scene.has_lights, True,
                            has_textures=len(scene.textures) > 0,
                            use_pallas=use_pallas, use_pallas_shade=use_shade,
-                           use_wide=use_wide, mat_types=mat_types)
+                           use_wide=use_wide, use_gather_shade=use_gather,
+                           use_stream=use_stream, mat_types=mat_types)
 
     import sys as _sys
     results = []
@@ -81,7 +85,8 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
     mrays = sum(r[0] for r in results) / len(results)
     ms = sum(r[1] for r in results) / len(results)
     return mrays, ms, {"wide": use_wide, "pallas": use_pallas,
-                       "shade": use_shade}
+                       "shade": use_shade, "gather_shade": use_gather,
+                       "stream": use_stream}
 
 
 def bench_denoised(scene_file, W, H, frames=3):
@@ -177,6 +182,89 @@ def pallas_parity_check():
     return ok
 
 
+def bench_stream(n_tris=5_000_000, R=1 << 20):
+    """Beyond-VMEM streaming probe (VERDICT r2 item 5): a synthetic
+    n_tris soup forced through the paged kernel vs a same-density
+    VMEM-resident soup through the gang kernel. Returns
+    (stream_mrays, resident_mrays)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_raytracer_tpu.bvh import stream as stream_mod
+    from gpu_raytracer_tpu.bvh import wide as wide_mod
+    from gpu_raytracer_tpu.bvh.cache import build_blas_cached
+    from gpu_raytracer_tpu.ops import pallas_gang, pallas_stream
+    from gpu_raytracer_tpu.scene.types import TriangleData
+
+    if jax.default_backend() != "tpu":
+        return None, None
+
+    def soup(n, seed):
+        rng = np.random.default_rng(seed)
+        p0 = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        e1 = rng.normal(0, 0.4 * n ** (-1 / 3), (n, 3)).astype(np.float32)
+        e2 = rng.normal(0, 0.4 * n ** (-1 / 3), (n, 3)).astype(np.float32)
+        return np.stack([p0, p0 + e1, p0 + e2], axis=1)
+
+    def pack(n, seed):
+        world = soup(n, seed)
+        bvh = build_blas_cached(TriangleData(world),
+                                max_leaf_size=wide_mod.LEAF_CAP)
+        wideb = wide_mod.collapse_wide(bvh)
+        geo = np.concatenate([world[:, 0], world[:, 1] - world[:, 0],
+                              world[:, 2] - world[:, 0]],
+                             axis=-1).astype(np.float32)
+        return wideb, bvh.indices, geo[bvh.indices]
+
+    rng = np.random.default_rng(9)
+    o = jnp.asarray(rng.uniform(-1.4, 1.4, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((R,), np.inf, jnp.float32)
+
+    def rate(fn):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(3):
+            out = fn()
+        jax.block_until_ready(out)
+        return R * 3 / (time.time() - t0) / 1e6
+
+    # Resident baseline at a VMEM-sized soup (same ray wave).
+    wv, idx, leaf = pack(400_000, 1)
+    resident = wide_mod.pack_wide_merged(wv, idx, leaf)
+    nodes = jnp.asarray(resident["nodes"])
+    rows = jnp.asarray(resident["rows"])
+    res_mrays = rate(lambda: pallas_gang.trace_closest_gang(
+        nodes, rows, o, d, tmax))
+
+    wv, idx, leaf = pack(n_tris, 2)
+    paged = stream_mod.pack_wide_stream(wv, idx, leaf)
+    tables = {k: jnp.asarray(v) for k, v in paged.items()
+              if not isinstance(v, int)}
+    st_mrays = rate(lambda: pallas_stream.trace_closest_stream(
+        tables, o, d, tmax))
+    return st_mrays, res_mrays
+
+
+def bench_anchor():
+    """SSIM vs the reference renderer's own Sponza screenshot
+    (/root/reference/Screenshots/atrium.png) — the external correctness
+    anchor (tools/anchor_compare.py)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    sys.path.insert(0, ".")
+    from tools.anchor_compare import compare, render_scene
+
+    img = render_scene("/root/reference/Data/Sponza/scene.xml", 512, 16)
+    return compare(img, "/root/reference/Screenshots/atrium.png")
+
+
 def main() -> int:
     from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
 
@@ -202,6 +290,16 @@ def main() -> int:
         den_ms = bench_denoised(sponza, 1920, 1080)
     except Exception:
         den_ms = None
+    try:
+        st_mrays, res_mrays = bench_stream()
+    except Exception as e:
+        print(f"[bench] stream probe failed: {e}", file=sys.stderr)
+        st_mrays = res_mrays = None
+    try:
+        anchor = bench_anchor()
+    except Exception as e:
+        print(f"[bench] anchor failed: {e}", file=sys.stderr)
+        anchor = None
 
     print(json.dumps({
         "metric": "Mrays/s sponza1080p b3 NEE+MIS+tex (3 POV avg)",
@@ -214,6 +312,11 @@ def main() -> int:
         "instancing512_mrays": round(inst_mrays, 3) if inst_mrays else None,
         "pallas_tpu_parity_ok": parity,
         "paths": paths,
+        "stream5M_mrays": round(st_mrays, 3) if st_mrays else None,
+        "stream_vs_resident": (round(st_mrays / res_mrays, 3)
+                               if st_mrays and res_mrays else None),
+        "anchor_sponza": ({k: round(v, 4) for k, v in anchor.items()}
+                          if anchor else None),
     }))
     return 0
 

@@ -148,14 +148,15 @@ def _interpolate_hit(tris, irow, hit):
                                     "with_stats", "has_textures", "with_aovs",
                                     "has_media", "use_pallas",
                                     "use_pallas_shade", "use_wide",
-                                    "use_gather_shade", "mat_types"))
+                                    "use_gather_shade", "use_stream",
+                                    "mat_types"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
                 has_textures: bool = False, with_aovs: bool = False,
                 has_media: bool = False, use_pallas: bool = False,
                 use_pallas_shade: bool = False, use_wide: bool = False,
-                use_gather_shade: bool = False,
+                use_gather_shade: bool = False, use_stream: bool = False,
                 valid_mask=None, mat_types=None):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
@@ -277,6 +278,14 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 medium_id, cone_width, direct, rays_traced, *_tail)
 
     def _decode_wide_hit(hit):
+        if use_stream:
+            # Streaming tables use split (P,) decode arrays (prim counts
+            # can exceed the 22-bit packed range).
+            p_inst, p_tri = buffers["stream_prim"]
+            code = jnp.maximum(hit.tri, 0)
+            ok = hit.tri >= 0
+            return hit._replace(tri=jnp.where(ok, p_tri[code], hit.tri),
+                                inst=jnp.where(ok, p_inst[code], hit.inst))
         pm = buffers.get("wide_prim_map")
         if pm is None:
             return hit
@@ -303,7 +312,19 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         aovs_out = {}
 
         rays_traced = rays_traced + jnp.sum(alive)
-        if use_wide:
+        if use_stream:
+            # Beyond-VMEM paged traversal (ops/pallas_stream.py): resident
+            # pass + portal-sorted page rounds; size-independent like the
+            # reference's DRAM-streamed CWBVH (BVH8.h:19-27).
+            from gpu_raytracer_tpu.ops.pallas_stream import (
+                trace_closest_stream,
+            )
+
+            hit = trace_closest_stream(
+                buffers["wide_stream"], ray_o, ray_d,
+                jnp.where(alive, INF, jnp.float32(0.0)))
+            hit = _decode_wide_hit(hit)
+        elif use_wide:
             if static_first:
                 hit = trace_closest_wide(
                     *buffers["wide"], ray_o, ray_d,
@@ -401,7 +422,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         # One wide-row fetch per table per bounce (ops/vec.py fetch_rows)
         # instead of dozens of per-column gathers.
         irow = fetch_rows(instances["rows"], ii)        # fwd|inv|mat_id
-        if use_wide and not static_first:
+        if use_stream or (use_wide and not static_first):
             # The gang kernel returns (t, tri, inst) without barycentrics
             # (two fewer (8,128) carries per traversal iteration); re-derive
             # (u, v) from the object-space hit point against the edge-form
@@ -515,7 +536,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             if nee_possible:
                 want = out["shadow_tmax"] > 0.0
                 rays_traced = rays_traced + jnp.sum(want)
-                if use_wide:
+                if use_stream:
+                    from gpu_raytracer_tpu.ops.pallas_stream import (
+                        trace_any_stream,
+                    )
+
+                    occluded = trace_any_stream(
+                        buffers["wide_stream"], out["shadow_o"],
+                        out["shadow_d"], out["shadow_tmax"])
+                elif use_wide:
                     from gpu_raytracer_tpu.ops.pallas_gang import (
                         trace_any_gang,
                     )
@@ -751,7 +780,14 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             rays_traced = rays_traced + jnp.sum(want_shadow)
             shadow_tmax = jnp.where(want_shadow, dist - 2 * EPSILON,
                                     jnp.float32(0.0))
-            if use_wide:
+            if use_stream:
+                from gpu_raytracer_tpu.ops.pallas_stream import (
+                    trace_any_stream,
+                )
+
+                occluded = trace_any_stream(buffers["wide_stream"],
+                                            shadow_o, to_light, shadow_tmax)
+            elif use_wide:
                 # Shadow waves are NOT re-sorted: origins inherit the parent
                 # wave's clustering, directions point at a small light set,
                 # and the any-hit kernel drains a gang as soon as every lane
@@ -876,12 +912,13 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                    static_argnames=("config", "width", "height", "seed",
                                     "has_lights", "has_textures", "has_media",
                                     "use_pallas", "use_wide",
-                                    "use_gather_shade", "mat_types"))
+                                    "use_gather_shade", "use_stream",
+                                    "mat_types"))
 def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                     vp_prev, taa_prev, is_first, config, width,
                     height, seed, has_lights, has_textures, has_media,
                     use_pallas, use_wide, mat_types,
-                    use_gather_shade=False):
+                    use_gather_shade=False, use_stream=False):
     """Trace + SVGF + TAA as one program (see render_frame_denoised)."""
     from gpu_raytracer_tpu.ops import svgf as svgf_ops
     from gpu_raytracer_tpu.ops import taa as taa_ops
@@ -891,7 +928,7 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                        has_media=has_media, with_aovs=True,
                        use_pallas=use_pallas, use_wide=use_wide,
                        use_gather_shade=use_gather_shade,
-                       mat_types=mat_types)
+                       use_stream=use_stream, mat_types=mat_types)
 
     # Un-tile into (H, W) images: one scatter per AOV.
     def img(x):
@@ -997,6 +1034,17 @@ class Pathtracer:
                 and not self.use_pallas_shade)
 
     @property
+    def use_stream(self) -> bool:
+        """Beyond-VMEM paged traversal (ops/pallas_stream.py): runs when
+        the merged wide tables exceeded the VMEM budget and were packed as
+        resident-top + HBM pages instead (ops/buffers._pack_wide_merged).
+        San Miguel/Bistro-class scenes stay on a Pallas path instead of
+        the ~1000x slower XLA while_loop."""
+        return (self.buffers is not None
+                and self.buffers.get("wide_stream") is not None
+                and jax.default_backend() == "tpu")
+
+    @property
     def use_wide(self) -> bool:
         """The block-synchronous wide-BVH kernel covers scene-scale tables
         (up to the VMEM budget, ~100 MB — Sponza class) on real TPU
@@ -1030,6 +1078,39 @@ class Pathtracer:
             self.reset_accumulation()
             self.invalidated.clear()
 
+    def update_async(self, delta: float = 0.0) -> None:
+        """Host-side re-pack on a worker thread so it overlaps the device
+        still executing the PREVIOUS frame's (async-dispatched) render —
+        the TPU analog of the reference's pinned staging buffer + dedicated
+        non-blocking memory stream (Integrator.h:199-201, Integrator.cpp:
+        212,278: uploads ride a separate stream while the render stream
+        works). The next render()/render_frame_denoised() joins the future
+        before dispatching. Only the transform-edit path (refresh_tlas) is
+        overlapped; structural invalidations rebuild synchronously."""
+        if (self.buffers is not None and self.invalidated.scene
+                and not (self.invalidated.materials
+                         or self.invalidated.mediums
+                         or self.invalidated.sky)):
+            from gpu_raytracer_tpu.ops.buffers import refresh_tlas
+            from gpu_raytracer_tpu.utils.pool import submit
+
+            if self.cpu_config.enable_scene_update:
+                self.scene.update(delta)
+            buffers = self.buffers
+
+            self._pending_buffers = submit(refresh_tlas, buffers, self.scene)
+            if not self.gpu_config.enable_svgf:
+                self.reset_accumulation()
+            self.invalidated.clear()
+        else:
+            self.update(delta)
+
+    def _join_pending(self) -> None:
+        fut = getattr(self, "_pending_buffers", None)
+        if fut is not None:
+            self._pending_buffers = None
+            self.buffers = fut.result()
+
     def reset_accumulation(self) -> None:
         self.sample_index = 0
         self.accumulator = jnp.zeros((self.width * self.height, 3), jnp.float32)
@@ -1039,6 +1120,7 @@ class Pathtracer:
     def render(self) -> None:
         """Render one sample for every pixel and fold it into the online
         average (reference: kernel_accumulate, Pathtracer.cu:775-796)."""
+        self._join_pending()
         if self.buffers is None:
             self.init_device()
         num_pixels = self.width * self.height
@@ -1071,6 +1153,7 @@ class Pathtracer:
                                  use_pallas_shade=self.use_pallas_shade,
                                  use_wide=self.use_wide and not self.use_pallas,
                                  use_gather_shade=self.use_gather_shade,
+                                 use_stream=self.use_stream,
                                  valid_mask=mask, mat_types=self.mat_types)
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
@@ -1095,6 +1178,7 @@ class Pathtracer:
         than the denoiser math itself."""
         from gpu_raytracer_tpu.ops import svgf as svgf_ops
 
+        self._join_pending()
         if self.buffers is None:
             self.init_device()
         H, W = self.height, self.width
@@ -1117,7 +1201,8 @@ class Pathtracer:
             self.scene.has_lights, len(self.scene.textures) > 0,
             len(self.scene.mediums) > 0, self.use_pallas,
             self.use_wide and not self.use_pallas, self.mat_types,
-            use_gather_shade=self.use_gather_shade)
+            use_gather_shade=self.use_gather_shade,
+            use_stream=self.use_stream)
         self.sample_index += 1
         self._vp_prev = jnp.asarray(self.scene.camera.view_projection)
         self.accumulator = colour.reshape(-1, 3)
@@ -1146,6 +1231,7 @@ class Pathtracer:
                                with_aovs=True, use_pallas=self.use_pallas,
                                use_wide=self.use_wide and not self.use_pallas,
                                use_gather_shade=self.use_gather_shade,
+                               use_stream=self.use_stream,
                                mat_types=self.mat_types)
             for k in acc:
                 acc[k] = acc[k] + np.asarray(aovs[k])

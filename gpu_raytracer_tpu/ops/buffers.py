@@ -415,6 +415,8 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     wide = _pack_wide(scene, geo, geo.tri_geo)
     buffers["wide"] = wide["tables"] if wide else None
     buffers["wide_prim_map"] = wide["prim_map"] if wide else None
+    buffers["wide_stream"] = wide.get("stream") if wide else None
+    buffers["stream_prim"] = wide.get("stream_prim") if wide else None
     return buffers
 
 
@@ -445,12 +447,15 @@ def _pack_wide(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray):
     est = wide_mod.estimate_table_bytes(num_bvh2_nodes, tri_geo.shape[0],
                                         len(scene.instances))
     if est > 2 * pallas_wide.VMEM_LIMIT:
-        # Early reject before any collapse work (estimate is an upper
-        # bound; borderline scenes re-check below).
-        print(f"[bvh] scene exceeds the wide-kernel VMEM budget "
-              f"(~{est // 2 ** 20} MB est.); falling back to the XLA "
-              f"binary traversal")
-        return None
+        # Beyond-VMEM scene: go straight to the merged build, which falls
+        # back to the paged STREAMING tables (bvh/stream.py) instead of the
+        # ~1000x slower XLA binary traversal.
+        merged = _pack_wide_merged(scene, geo, tri_geo, width)
+        if merged is None:
+            print(f"[bvh] scene exceeds the wide-kernel VMEM budget "
+                  f"(~{est // 2 ** 20} MB est.) and the streaming gate; "
+                  f"falling back to the XLA binary traversal")
+        return merged
 
     # ---- static-scene flattening ----
     # Fold the whole scene into ONE world-space wide BVH: no TLAS hop, no
@@ -513,11 +518,15 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     P = int(sum(counts))
     # prim_map is int32 with the tri slot in the low 22 bits, leaving 9 usable
     # instance bits (bit 31 is the sign: inst 512 << 22 would overflow int32).
-    # Scenes beyond either range take the two-level wide path instead.
-    if I >= (1 << 9) or P >= (1 << 22):
+    # Beyond either range the VMEM-resident merged path is unavailable, but
+    # the STREAMING fallback below uses split (P,) inst/tri arrays and f32
+    # prim ids in leaf rows, which stay exact up to 2^24 prims.
+    fits_prim_map = I < (1 << 9) and P < (1 << 22)
+    if P >= (1 << 24):
         return None
     world = np.empty((P, 3, 3), np.float32)
-    prim_map = np.empty(P, np.int32)
+    prim_inst = np.empty(P, np.int32)
+    prim_tri = np.empty(P, np.int32)
     base_p = 0
     for i, inst in enumerate(scene.instances):
         mi = inst.mesh_data_id
@@ -529,8 +538,8 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
         p1 = (g[:, 0:3] + g[:, 3:6]) @ m[:, :3].T + m[:, 3]
         p2 = (g[:, 0:3] + g[:, 6:9]) @ m[:, :3].T + m[:, 3]
         world[base_p:base_p + c] = np.stack([p0, p1, p2], axis=1)
-        prim_map[base_p:base_p + c] = (i << 22) | np.arange(b, b + c,
-                                                            dtype=np.int32)
+        prim_inst[base_p:base_p + c] = i
+        prim_tri[base_p:base_p + c] = np.arange(b, b + c, dtype=np.int32)
         base_p += c
 
     bvh = build_blas_cached(TriangleData(world),
@@ -539,20 +548,38 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     world_geo = np.concatenate(
         [world[:, 0], world[:, 1] - world[:, 0], world[:, 2] - world[:, 0]],
         axis=-1).astype(np.float32)
-    packed = wide_mod.pack_wide_merged(wideb, bvh.indices,
-                                       world_geo[bvh.indices])
-    n, l = packed["nodes"].shape[0], packed["rows"].shape[0]
-    if not pallas_wide.supports(n, l):
-        print(f"[bvh] merged wide tables ({(n + l) * 512 // 2 ** 20} MB) "
-              f"exceed the VMEM budget; falling back")
+    leaf_geo = world_geo[bvh.indices]
+    packed = wide_mod.pack_wide_merged(wideb, bvh.indices, leaf_geo) \
+        if fits_prim_map else None
+    n = packed["nodes"].shape[0] if packed else 0
+    l = packed["rows"].shape[0] if packed else 0
+    if (packed is not None and pallas_wide.supports(n, l)
+            and packed["max_stack"] <= pallas_wide.STACK_DEPTH):
+        prim_map = (prim_inst << 22) | prim_tri
+        return {"tables": (jnp.asarray(packed["nodes"]),
+                           jnp.asarray(packed["rows"])),
+                "prim_map": jnp.asarray(prim_map)}
+
+    # ---- beyond-VMEM: paged streaming tables (bvh/stream.py) ----
+    from gpu_raytracer_tpu.bvh import stream as stream_mod
+    from gpu_raytracer_tpu.ops import pallas_stream
+
+    paged = stream_mod.pack_wide_stream(wideb, bvh.indices, leaf_geo,
+                                        page_rows=stream_mod.PAGE_ROWS)
+    if paged is None or paged["max_stack"] > pallas_wide.STACK_DEPTH:
         return None
-    if packed["max_stack"] > pallas_wide.STACK_DEPTH:
-        print(f"[bvh] merged wide tree needs stack {packed['max_stack']} > "
-              f"kernel budget {pallas_wide.STACK_DEPTH}; falling back")
+    res_rows = paged["resident"].shape[0]
+    if res_rows * 512 > pallas_wide.VMEM_LIMIT:
+        print(f"[bvh] streaming resident top ({res_rows * 512 // 2 ** 20} "
+              f"MB) exceeds VMEM; falling back")
         return None
-    return {"tables": (jnp.asarray(packed["nodes"]),
-                       jnp.asarray(packed["rows"])),
-            "prim_map": jnp.asarray(prim_map)}
+    print(f"[bvh] streaming tables: resident {res_rows * 512 // 2 ** 20} MB"
+          f" + {paged['pages'].shape[0]} pages x "
+          f"{paged['pages'].shape[1] * 512 // 2 ** 10} KB")
+    stream = {k: jnp.asarray(v) for k, v in paged.items()
+              if isinstance(v, np.ndarray)}
+    return {"tables": None, "prim_map": None, "stream": stream,
+            "stream_prim": (jnp.asarray(prim_inst), jnp.asarray(prim_tri))}
 
 
 def _mat_kc_tables(buffers: dict):
@@ -707,11 +734,13 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
         out["pallas_shade"] = _pack_pallas_shade(out, scene)
     if buffers.get("shade_gather") is not None:
         out["shade_gather"] = _pack_shade_gather(out, scene)
-    if buffers.get("wide") is not None:
+    if buffers.get("wide") is not None or buffers.get("wide_stream") is not None:
         # Per-mesh wide BLAS collapses are cached on the MeshData; only the
         # TLAS head + instance rows are re-derived here (the merged static
         # path re-packs from the content-hash BVH cache).
         wide = _pack_wide(scene, geo, geo.tri_geo)
         out["wide"] = wide["tables"] if wide else None
         out["wide_prim_map"] = wide["prim_map"] if wide else None
+        out["wide_stream"] = wide.get("stream") if wide else None
+        out["stream_prim"] = wide.get("stream_prim") if wide else None
     return out

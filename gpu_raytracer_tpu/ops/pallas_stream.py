@@ -1,0 +1,519 @@
+"""Streaming wide-BVH traversal for beyond-VMEM scenes.
+
+Two-pass design over the paged tables built by bvh/stream.py (see its
+docstring for the partitioning):
+
+  PASS 1 (resident): the per-sublane gang traversal (ops/pallas_gang.py
+  design) over the VMEM-resident top of the tree. Portal child refs are not
+  descended; instead every lane whose slab test hits the portal's AABB
+  records (portal id, entry t) into a fixed per-lane list.
+
+  PASS 2 (paged rounds, driven from XLA inside one jit): while any ray has
+  a pending portal nearer than its current best hit, pick each ray's
+  globally most-popular pending portal (coordinated selection — tiles come
+  out near-uniform), sort rays by portal id, and launch the page kernel: each 1024-ray tile DMAs ITS portal's page (scalar-prefetched page
+  id) from HBM into VMEM, then runs the same gang traversal rooted at the
+  portal's local root. Rays that landed in a tile processing a different
+  portal simply keep their pending entry for the next round (the sort makes
+  that rare). Hits fold into the running best; occlusion drains pending.
+
+  This mirrors the ROLE of the reference's DRAM-streaming CWBVH traversal
+  (/root/reference/Src/CUDA/Raytracing/BVH8.h:19-27 — node fetches are
+  size-independent) with TPU mechanics: sequential DMA of 2 MiB pages
+  instead of per-thread cached gathers, and ray/portal sorting instead of
+  a hardware cache. Cost model: each round streams only the pages that
+  have waiting rays, each page once per ~1024 waiting rays.
+
+Scope: merged static-scene tables only (no instance rows / RESTORE) — the
+configuration big scenes actually use (bvh/stream.py gate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpu_raytracer_tpu.bvh.stream import PORTAL_BASE
+from gpu_raytracer_tpu.ops.pallas_wide import (
+    LEAF_CAP,
+    STACK_DEPTH,
+    _DIV_EPS,
+    _RAY_EPS,
+    _inv1,
+)
+
+BLOCK = 1024
+SHAPE = (8, 128)
+GANGS = 8
+IDLE = -2_000_000_000
+K_PORTALS = 12          # per-lane pending-portal list length
+MAX_ROUNDS = 64
+
+# Test hook: CPU-backend tests flip this to run through the interpreter.
+FORCE_INTERPRET = False
+
+
+def _bc(col):
+    return jax.lax.broadcast_in_dim(col, SHAPE, (0, 1))
+
+
+def _gang_body(any_hit, with_portals, tab, vs, sps, stack_ref, state,
+               portal_rec=None):
+    """One traversal iteration shared by both passes. `tab` is a callable
+    row -> (128,) load from the pass's unified table; `vs`/`sps` the popped
+    entries / stack pointers; `state` the ray tuple. Returns updated
+    (sps, state). `portal_rec(pid_col, tn)` is called per portal child."""
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz, t_max, dead,
+     best_t, best_tri, occ) = state
+
+    rows = []
+    for g in range(GANGS):
+        v = vs[g]
+        idx = jnp.where(v >= 0, v, jnp.clip(-v - 2, 0, tab.shape[0] - 1))
+        rows.append(tab[idx])
+    blk = jnp.stack(rows)                        # (8, 128)
+
+    gang_col = jax.lax.broadcasted_iota(jnp.int32, (GANGS, 1), 0)
+    node_v = jnp.zeros((GANGS, 1), jnp.int32)
+    leaf_v = jnp.zeros((GANGS, 1), jnp.int32)
+    for g in range(GANGS):
+        node_v = jnp.where(gang_col == g, (vs[g] >= 0).astype(jnp.int32),
+                           node_v)
+        leaf_v = jnp.where(gang_col == g,
+                           ((vs[g] <= -2) & (vs[g] != IDLE))
+                           .astype(jnp.int32), leaf_v)
+    node_m = _bc(node_v) > 0
+    leaf_m = _bc(leaf_v) > 0
+    kind = blk[:, 0:1]
+    tri_m = leaf_m & (_bc(kind) >= 0.0)
+
+    cull_t = jnp.where(occ > 0, 0.0, t_max) if any_hit else best_t
+
+    keys, refs = [], []
+    portal_any = jnp.int32(0)
+    child_data = []
+    for c in range(8):
+        bx0 = _bc(blk[:, c * 6 + 0:c * 6 + 1])
+        by0 = _bc(blk[:, c * 6 + 1:c * 6 + 2])
+        bz0 = _bc(blk[:, c * 6 + 2:c * 6 + 3])
+        bx1 = _bc(blk[:, c * 6 + 3:c * 6 + 4])
+        by1 = _bc(blk[:, c * 6 + 4:c * 6 + 5])
+        bz1 = _bc(blk[:, c * 6 + 5:c * 6 + 6])
+        tx0 = (bx0 - ox) * ix
+        tx1 = (bx1 - ox) * ix
+        ty0 = (by0 - oy) * iy
+        ty1 = (by1 - oy) * iy
+        tz0 = (bz0 - oz) * iz
+        tz1 = (bz1 - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1))
+        hit = (tn <= tf) & (tf > 0.0) & (jnp.maximum(tn, 0.0) < cull_t) \
+            & node_m & ~dead
+        tn0 = jnp.maximum(tn, 0.0)
+        tmin = jnp.min(jnp.where(hit, tn0, jnp.inf), axis=1, keepdims=True)
+        ref = blk[:, 48 + c:49 + c].astype(jnp.int32)        # (8, 1)
+        if with_portals:
+            is_portal = ref <= -(2 + PORTAL_BASE)            # (8, 1)
+            portal_any = portal_any + jnp.sum(
+                is_portal.astype(jnp.int32) * (tmin < jnp.inf))
+            child_data.append((ref, is_portal, hit, tn0))
+            take = (ref != -1) & ~is_portal & (tmin < jnp.inf)
+        else:
+            take = (ref != -1) & (tmin < jnp.inf)
+        keys.append(jnp.where(take, tmin, jnp.inf))
+        refs.append(jnp.where(take, ref, jnp.int32(-1)))
+
+    if with_portals and portal_rec is not None:
+        portal_rec(portal_any, child_data)
+
+    if not any_hit:
+        for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                     (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                     (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                     (5, 6)):
+            swap = keys[a] > keys[b]
+            ka = jnp.where(swap, keys[b], keys[a])
+            kb = jnp.where(swap, keys[a], keys[b])
+            ra = jnp.where(swap, refs[b], refs[a])
+            rb = jnp.where(swap, refs[a], refs[b])
+            keys[a], keys[b] = ka, kb
+            refs[a], refs[b] = ra, rb
+
+    for c in range(7, -1, -1):
+        for g in range(GANGS):
+            r = refs[c][g, 0]
+            take = (r != -1) & (sps[g] < STACK_DEPTH)
+            stack_ref[g, jnp.where(take, sps[g], STACK_DEPTH)] = r
+            sps[g] = sps[g] + take.astype(jnp.int32)
+
+    leaf_alive = tri_m & ~dead
+    for j in range(LEAF_CAP):
+        base = 16 + j * 9
+        p0x = _bc(blk[:, base + 0:base + 1])
+        p0y = _bc(blk[:, base + 1:base + 2])
+        p0z = _bc(blk[:, base + 2:base + 3])
+        e1x = _bc(blk[:, base + 3:base + 4])
+        e1y = _bc(blk[:, base + 4:base + 5])
+        e1z = _bc(blk[:, base + 5:base + 6])
+        e2x = _bc(blk[:, base + 6:base + 7])
+        e2y = _bc(blk[:, base + 7:base + 8])
+        e2z = _bc(blk[:, base + 8:base + 9])
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / jnp.where(jnp.abs(a) < _DIV_EPS, _DIV_EPS, a)
+        sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        w = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        limit = t_max if any_hit else best_t
+        hit = (leaf_alive & (j < kind) & (jnp.abs(a) >= _DIV_EPS)
+               & (u >= 0.0) & (u <= 1.0)
+               & (w >= 0.0) & (u + w <= 1.0)
+               & (t > _RAY_EPS) & (t < limit))
+        if any_hit:
+            occ = jnp.maximum(occ, hit.astype(jnp.int32))
+        else:
+            tid = _bc(blk[:, 1 + j:2 + j]).astype(jnp.int32)
+            best_t = jnp.where(hit, t, best_t)
+            best_tri = jnp.where(hit, tid, best_tri)
+
+    if any_hit:
+        done = jnp.min(occ + dead.astype(jnp.int32), axis=1, keepdims=True)
+        for g in range(GANGS):
+            sps[g] = jnp.where(done[g, 0] > 0, 0, sps[g])
+
+    return sps, (ox, oy, oz, dx, dy, dz, ix, iy, iz, t_max, dead,
+                 best_t, best_tri, occ)
+
+
+def _pop(sps, stack_ref):
+    vs, nsps = [], []
+    for g in range(GANGS):
+        has = sps[g] > 0
+        spm = jnp.where(has, sps[g] - 1, 0)
+        v = jnp.where(has, stack_ref[g, spm], jnp.int32(IDLE))
+        vs.append(v)
+        nsps.append(spm)
+    return vs, nsps
+
+
+def _resident_kernel(any_hit, tab_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tmax_ref,
+                     t_out, tri_out, pid_out, pt_out, ovf_out,
+                     stack_ref):
+    wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
+    wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
+    t_max = tmax_ref[0]
+    dead = t_max <= 0.0
+
+    for k in range(K_PORTALS):
+        pid_out[0, k] = jnp.full(SHAPE, -1, jnp.int32)
+        pt_out[0, k] = jnp.full(SHAPE, jnp.inf, jnp.float32)
+    ovf_out[0] = jnp.zeros(SHAPE, jnp.int32)
+
+    for g in range(GANGS):
+        stack_ref[g, 0] = jnp.int32(0)
+
+    def cond(s):
+        sps = s[0]
+        total = sps[0]
+        for g in range(1, GANGS):
+            total = total + sps[g]
+        return total > 0
+
+    def body(s):
+        sps, cnt, state = s
+        vs, sps = _pop(sps, stack_ref)
+
+        rec_cnt = [cnt]
+
+        def portal_rec(portal_any, child_data):
+            def do_rec(cnt):
+                for (ref, is_portal, hit, tn0) in child_data:
+                    pid_col = (-ref - 2) - PORTAL_BASE          # (8, 1)
+                    rec = hit & (_bc(is_portal.astype(jnp.int32)) > 0)
+                    for k in range(K_PORTALS):
+                        sel = rec & (cnt == k)
+                        pid_out[0, k] = jnp.where(
+                            sel, _bc(pid_col), pid_out[0, k])
+                        pt_out[0, k] = jnp.where(sel, tn0, pt_out[0, k])
+                    ovf_out[0] = ovf_out[0] + (
+                        rec & (cnt >= K_PORTALS)).astype(jnp.int32)
+                    cnt = cnt + rec.astype(jnp.int32)
+                return cnt
+
+            rec_cnt[0] = jax.lax.cond(portal_any > 0, do_rec,
+                                      lambda c: c, rec_cnt[0])
+
+        sps, state = _gang_body(any_hit, True, tab_ref, vs, sps, stack_ref,
+                                state, portal_rec)
+        return sps, rec_cnt[0], state
+
+    wix, wiy, wiz = _inv1(wdx), _inv1(wdy), _inv1(wdz)
+    state0 = (wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, t_max, dead,
+              t_max, jnp.full(SHAPE, -1, jnp.int32),
+              jnp.zeros(SHAPE, jnp.int32))
+    init = ([jnp.int32(1)] * GANGS, jnp.zeros(SHAPE, jnp.int32), state0)
+    _, _, state = jax.lax.while_loop(cond, body, init)
+    best_t, best_tri, occ = state[11], state[12], state[13]
+
+    if any_hit:
+        t_out[0] = jnp.where(occ > 0, 0.0, jnp.inf)
+        tri_out[0] = jnp.where(occ > 0, 0, -1)
+    else:
+        t_out[0] = jnp.where(best_tri >= 0, best_t, jnp.inf)
+        tri_out[0] = best_tri
+
+
+def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                 t_out, tri_out,
+                 page_vmem, stack_ref, sem):
+    i = pl.program_id(0)
+    pid = pid_ref[i]
+    root = root_ref[i]
+
+    copy = pltpu.make_async_copy(pages_ref.at[pid], page_vmem, sem)
+    copy.start()
+    copy.wait()
+
+    wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
+    wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
+    t_max = tmax_ref[0]
+    dead = t_max <= 0.0
+
+    for g in range(GANGS):
+        stack_ref[g, 0] = root
+
+    def cond(s):
+        sps = s[0]
+        total = sps[0]
+        for g in range(1, GANGS):
+            total = total + sps[g]
+        return total > 0
+
+    def body(s):
+        sps, state = s
+        vs, sps = _pop(sps, stack_ref)
+        sps, state = _gang_body(any_hit, False, page_vmem, vs, sps,
+                                stack_ref, state)
+        return sps, state
+
+    wix, wiy, wiz = _inv1(wdx), _inv1(wdy), _inv1(wdz)
+    state0 = (wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, t_max, dead,
+              t_max, jnp.full(SHAPE, -1, jnp.int32),
+              jnp.zeros(SHAPE, jnp.int32))
+    init = ([jnp.int32(1)] * GANGS, state0)
+    _, state = jax.lax.while_loop(cond, body, init)
+    best_t, best_tri, occ = state[11], state[12], state[13]
+
+    if any_hit:
+        t_out[0] = jnp.where(occ > 0, 0.0, jnp.inf)
+        tri_out[0] = jnp.where(occ > 0, 0, -1)
+    else:
+        t_out[0] = jnp.where(best_tri >= 0, best_t, jnp.inf)
+        tri_out[0] = best_tri
+
+
+def _tile(x, G):
+    return x.reshape(G, 8, 128)
+
+
+def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret):
+    R = ray_o.shape[0]
+    G = R // BLOCK
+
+    tile_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, K_PORTALS, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((G, K_PORTALS, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
+    ]
+    klist_spec = pl.BlockSpec((1, K_PORTALS, 8, 128), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    t, tri, pids, pts, ovf = pl.pallas_call(
+        partial(_resident_kernel, any_hit),
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [tile_spec] * 7,
+        out_specs=[tile_spec, tile_spec, klist_spec, klist_spec, tile_spec],
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(resident.shape[0] * 512 + 16 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(resident,
+      _tile(ray_o[:, 0], G), _tile(ray_o[:, 1], G), _tile(ray_o[:, 2], G),
+      _tile(ray_d[:, 0], G), _tile(ray_d[:, 1], G), _tile(ray_d[:, 2], G),
+      _tile(t_max, G))
+    n = R
+    return (t.reshape(n), tri.reshape(n),
+            pids.transpose(0, 2, 3, 1).reshape(n, K_PORTALS),
+            pts.transpose(0, 2, 3, 1).reshape(n, K_PORTALS),
+            ovf.reshape(n))
+
+
+def _phase2(pages, tile_pid, tile_root, ray_o, ray_d, t_max, any_hit,
+            interpret):
+    R = ray_o.shape[0]
+    G = R // BLOCK
+    page_rows = pages.shape[1]
+
+    tile_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    t, tri = pl.pallas_call(
+        partial(_page_kernel, any_hit, page_rows),
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] + [tile_spec] * 7,
+        out_specs=[tile_spec, tile_spec],
+        out_shape=[jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((page_rows, 128), jnp.float32),
+                        pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(page_rows * 512 * 2 + 16 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(pages, tile_pid, tile_root,
+      _tile(ray_o[:, 0], G), _tile(ray_o[:, 1], G), _tile(ray_o[:, 2], G),
+      _tile(ray_d[:, 0], G), _tile(ray_d[:, 1], G), _tile(ray_d[:, 2], G),
+      _tile(t_max, G))
+    return t.reshape(R), tri.reshape(R)
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _trace_stream(resident, pages, portal_page, portal_root,
+                  ray_o, ray_d, t_max, any_hit=False, interpret=False):
+    interpret = interpret or FORCE_INTERPRET
+    R0 = ray_o.shape[0]
+    pad = (-R0) % BLOCK
+    if pad:
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
+        ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    R = R0 + pad
+
+    t1, tri1, pids, pts, ovf = _phase1(resident, ray_o, ray_d, t_max,
+                                       any_hit, interpret)
+    best_t = t1
+    best_tri = tri1
+    occluded = tri1 >= 0 if any_hit else jnp.zeros(R, bool)
+
+    def round_cond(s):
+        best_t, best_tri, occluded, pids, pts, r = s
+        lim = t_max if any_hit else jnp.minimum(best_t, t_max)
+        pending = (pids >= 0) & (pts < lim[:, None])
+        if any_hit:
+            pending = pending & ~occluded[:, None]
+        return jnp.any(pending) & (r < MAX_ROUNDS)
+
+    P = portal_page.shape[0]
+
+    def round_body(s):
+        best_t, best_tri, occluded, pids, pts, r = s
+        lim = t_max if any_hit else jnp.minimum(best_t, t_max)
+        pending = (pids >= 0) & (pts < lim[:, None])
+        if any_hit:
+            pending = pending & ~occluded[:, None]
+        # COORDINATED selection: every ray picks its globally most-popular
+        # pending portal, so the sorted tiles come out near-uniform and a
+        # whole portal population retires per tile per round. (Nearest-
+        # first would shrink best_t slightly faster but leaves each tile
+        # processing only the few rays that agree with its first ray —
+        # measured 1-24 active rays/round on an incoherent wave.)
+        pop = jnp.zeros((P + 1,), jnp.int32).at[
+            jnp.where(pending, pids, P)].add(1, mode="drop")
+        score = jnp.where(pending, pop[jnp.clip(pids, 0, P - 1)], -1)
+        sel_k = jnp.argmax(score, axis=1)
+        has = jnp.any(pending, axis=1)
+        sel_pid = jnp.where(has, jnp.take_along_axis(
+            pids, sel_k[:, None], axis=1)[:, 0], jnp.int32(2 ** 30))
+
+        order = jnp.argsort(sel_pid, stable=True)
+        inv_order = jnp.argsort(order, stable=True)
+        pid_sorted = sel_pid[order]
+        # Tile portal = portal of the tile's first ray; only matching rays
+        # trace this round (the sort makes mismatches rare).
+        tile_first = pid_sorted.reshape(-1, BLOCK)[:, 0]
+        tile_pid_ray = jnp.repeat(tile_first, BLOCK)
+        active_sorted = (pid_sorted == tile_pid_ray) & (pid_sorted < 2 ** 30)
+
+        o_s = ray_o[order]
+        d_s = ray_d[order]
+        lim_s = jnp.where(active_sorted, lim[order], 0.0)
+        # All-inactive tiles (tile_first == 2^30 sentinel) clamp to portal 0;
+        # their lanes carry t_max = 0, so the kernel culls everything.
+        tile_pid = jnp.clip(tile_first, 0, portal_page.shape[0] - 1)
+        t2, tri2 = _phase2(pages, portal_page[tile_pid],
+                           portal_root[tile_pid], o_s, d_s, lim_s,
+                           any_hit, interpret)
+        t2 = t2[inv_order]
+        tri2 = tri2[inv_order]
+        processed = active_sorted[inv_order]
+
+        if any_hit:
+            occluded = occluded | (processed & (tri2 >= 0))
+        else:
+            better = processed & (tri2 >= 0) & (t2 < best_t)
+            best_t = jnp.where(better, t2, best_t)
+            best_tri = jnp.where(better, tri2, best_tri)
+        # Clear the processed pending slot.
+        clear = processed[:, None] & (
+            jnp.arange(K_PORTALS)[None, :] == sel_k[:, None])
+        pids = jnp.where(clear, -1, pids)
+        return best_t, best_tri, occluded, pids, pts, r + 1
+
+    best_t, best_tri, occluded, _, _, _ = jax.lax.while_loop(
+        round_cond, round_body,
+        (best_t, best_tri, occluded, pids, pts, jnp.int32(0)))
+
+    if any_hit:
+        hit = occluded[:R0]
+        return (jnp.where(hit, 0.0, jnp.inf),
+                jnp.where(hit, 0, -1), ovf[:R0])
+    return best_t[:R0], best_tri[:R0], ovf[:R0]
+
+
+def trace_closest_stream(tables: dict, ray_o, ray_d, t_max, interpret=False):
+    """Closest-hit streaming traversal. Returns HitInstanced with inst=-1
+    (merged tables; callers remap through the prim map) and u=v=0 (the
+    shade stage re-derives them, as with the gang kernel)."""
+    from gpu_raytracer_tpu.ops.traverse import HitInstanced
+
+    t, tri, _ = _trace_stream(tables["resident"], tables["pages"],
+                              tables["portal_page"], tables["portal_root"],
+                              ray_o, ray_d, t_max, any_hit=False,
+                              interpret=interpret)
+    R = ray_o.shape[0]
+    zero = jnp.zeros((R,), jnp.float32)
+    return HitInstanced(t=t, tri=tri, inst=jnp.full((R,), -1, jnp.int32),
+                        u=zero, v=zero)
+
+
+def trace_any_stream(tables: dict, ray_o, ray_d, t_max, interpret=False):
+    """Any-hit streaming traversal -> (R,) bool occlusion."""
+    t, tri, _ = _trace_stream(tables["resident"], tables["pages"],
+                              tables["portal_page"], tables["portal_root"],
+                              ray_o, ray_d, t_max, any_hit=True,
+                              interpret=interpret)
+    return tri >= 0

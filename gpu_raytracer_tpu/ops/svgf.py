@@ -187,7 +187,12 @@ def reproject(frame: dict, history: SVGFHistory, screen_prev,
     }
 
 
-_GAUSS_3 = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]) / 16.0
+# numpy on purpose: module-level jnp constants become leaked tracers when
+# the module is first imported inside a jit trace (ops/traverse.py note).
+import numpy as _np  # noqa: E402
+
+_GAUSS_3 = _np.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0],
+                        [1.0, 2.0, 1.0]]) / 16.0
 
 
 def _edge_weights(frame, dy, dx, sigma_z, sigma_n, sigma_l,

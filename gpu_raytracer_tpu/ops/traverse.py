@@ -31,8 +31,13 @@ STACK_DEPTH = 48  # reference uses 8 shared + 24 local (Common.h:104-108); SAH
 #                   trees of ~1M prims stay < 40 deep, 48 leaves headroom.
 LEAF_SIZE = 4     # max triangles per leaf the device layout supports
 
-_DEPTH_IOTA = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
-_DEPTH_IOTA_T = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[:, None]
+# numpy on purpose: a module-level jnp.arange becomes a LEAKED TRACER when
+# this module is first imported inside a jit trace (lazy `from ... import`
+# in a jitted wrapper) — numpy constants are trace-safe.
+import numpy as _np  # noqa: E402
+
+_DEPTH_IOTA = _np.arange(STACK_DEPTH, dtype=_np.int32)[None, :]
+_DEPTH_IOTA_T = _np.arange(STACK_DEPTH, dtype=_np.int32)[:, None]
 
 
 class Hit(NamedTuple):

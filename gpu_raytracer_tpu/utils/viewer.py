@@ -187,7 +187,9 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                 if moved:
                     camera.update(0.0)
                     integrator.invalidated.camera = True
-                    integrator.update(delta)
+                    # Async: transform-edit re-packing overlaps the device
+                    # still executing the previous frame's dispatch.
+                    integrator.update_async(delta)
 
             if integrator.gpu_config.enable_svgf:
                 integrator.render_frame_denoised()

@@ -112,6 +112,34 @@ class TestTLASRefresh:
         assert int(hit1.inst[0]) == 0
         assert float(hit1.t[0]) == pytest.approx(4.05, abs=0.1)
 
+    def test_async_update_matches_sync(self):
+        """update_async (host re-pack on a worker, overlapping the device;
+        reference: the non-blocking memory stream, Integrator.cpp:212,278)
+        must land the same buffers as the synchronous path."""
+        scene = _two_sphere_scene()
+        pt = Pathtracer(scene, gpu_config=GPUConfig(num_bounces=2))
+        pt.init_device()
+        pt.render()
+        scene.instances[1].position = np.array([3.0, 0.0, 0.0], np.float32)
+        scene.instances[1].update()
+        pt.invalidated.scene = True
+        pt.update_async()
+        assert getattr(pt, "_pending_buffers", None) is not None
+        pt.render()  # joins the future before dispatch
+        assert pt._pending_buffers is None
+        a = pt.framebuffer().copy()
+
+        scene2 = _two_sphere_scene()
+        pt2 = Pathtracer(scene2, gpu_config=GPUConfig(num_bounces=2))
+        pt2.init_device()
+        pt2.render()
+        scene2.instances[1].position = np.array([3.0, 0.0, 0.0], np.float32)
+        scene2.instances[1].update()
+        pt2.invalidated.scene = True
+        pt2.update()
+        pt2.render()
+        np.testing.assert_allclose(a, pt2.framebuffer(), atol=1e-6)
+
     def test_integrator_invalidation_path(self):
         scene = _two_sphere_scene()
         pt = Pathtracer(scene, gpu_config=GPUConfig(num_bounces=2))

@@ -1,0 +1,153 @@
+"""Streaming (paged) wide-BVH traversal vs the resident gang kernel
+(interpret mode, pages forced tiny so the portal/round machinery runs).
+Reference role: DRAM-streamed CWBVH traversal — any scene size at full
+speed (/root/reference/Src/CUDA/Raytracing/BVH8.h:19-27)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpu_raytracer_tpu.bvh import stream as stream_mod
+from gpu_raytracer_tpu.bvh import wide as wide_mod
+from gpu_raytracer_tpu.bvh.sah import build_bvh2
+from gpu_raytracer_tpu.ops import pallas_gang as pg
+from gpu_raytracer_tpu.ops import pallas_stream as ps
+from gpu_raytracer_tpu.scene.types import TriangleData
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    old_s, old_g = ps.FORCE_INTERPRET, pg.FORCE_INTERPRET
+    ps.FORCE_INTERPRET = pg.FORCE_INTERPRET = True
+    yield
+    ps.FORCE_INTERPRET, pg.FORCE_INTERPRET = old_s, old_g
+
+
+def _soup(n=1500, seed=0):
+    """Random triangle soup in [-1, 1]^3 with small tris."""
+    rng = np.random.default_rng(seed)
+    p0 = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+    return np.stack([p0, p0 + e1, p0 + e2], axis=1)
+
+
+@pytest.fixture(scope="module")
+def packed():
+    world = _soup()
+    bvh = build_bvh2(TriangleData(world), max_leaf_size=wide_mod.LEAF_CAP)
+    wideb = wide_mod.collapse_wide(bvh)
+    world_geo = np.concatenate(
+        [world[:, 0], world[:, 1] - world[:, 0], world[:, 2] - world[:, 0]],
+        axis=-1).astype(np.float32)
+    leaf_geo = world_geo[bvh.indices]
+    resident = wide_mod.pack_wide_merged(wideb, bvh.indices, leaf_geo)
+    paged = stream_mod.pack_wide_stream(wideb, bvh.indices, leaf_geo,
+                                        page_rows=48)
+    assert paged is not None, "soup should span multiple 48-row pages"
+    paged = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in paged.items()}
+    return resident, paged
+
+
+def _rays(R=2048, seed=3):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, jnp.asarray(d), jnp.full((R,), np.inf, jnp.float32)
+
+
+def test_pack_partitions(packed):
+    resident, paged = packed
+    page_rows = int(np.asarray(paged["pages"]).shape[1])
+    assert page_rows == 48
+    assert np.asarray(paged["pages"]).shape[0] > 1
+    # Resident top must be much smaller than the full table.
+    assert (np.asarray(paged["resident"]).shape[0]
+            < resident["nodes"].shape[0] + resident["rows"].shape[0])
+    # Portal metadata is consistent.
+    pp = np.asarray(paged["portal_page"])
+    pr = np.asarray(paged["portal_root"])
+    assert pp.shape == pr.shape and pp.size > 0
+    assert pp.max() < np.asarray(paged["pages"]).shape[0]
+    assert pr.max() < page_rows
+
+
+def test_pack_single_page_returns_none():
+    world = _soup(40)
+    bvh = build_bvh2(TriangleData(world), max_leaf_size=wide_mod.LEAF_CAP)
+    wideb = wide_mod.collapse_wide(bvh)
+    geo = np.concatenate([world[:, 0], world[:, 1] - world[:, 0],
+                          world[:, 2] - world[:, 0]], axis=-1)
+    leaf = geo[bvh.indices].astype(np.float32)
+    assert stream_mod.pack_wide_stream(wideb, bvh.indices, leaf,
+                                       page_rows=4096) is None
+
+
+def test_closest_matches_resident_kernel(packed):
+    resident, paged = packed
+    o, d, tmax = _rays()
+    ref = pg.trace_closest_gang(jnp.asarray(resident["nodes"]),
+                                jnp.asarray(resident["rows"]), o, d, tmax,
+                                interpret=True)
+    out = ps.trace_closest_stream(paged, o, d, tmax, interpret=True)
+    rtri = np.asarray(ref.tri)
+    wtri = np.asarray(out.tri)
+    np.testing.assert_array_equal(rtri >= 0, wtri >= 0)
+    both = rtri >= 0
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5)
+    assert np.mean(rtri[both] == wtri[both]) > 0.995
+
+
+def test_any_hit_matches_resident_kernel(packed):
+    resident, paged = packed
+    o, d, _ = _rays(seed=11)
+    tmax = jnp.full((o.shape[0],), 1.0, jnp.float32)
+    ref = pg.trace_any_gang(jnp.asarray(resident["nodes"]),
+                            jnp.asarray(resident["rows"]), o, d, tmax,
+                            interpret=True)
+    out = ps.trace_any_stream(paged, o, d, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_finite_tmax_respected(packed):
+    _, paged = packed
+    o, d, _ = _rays(R=1024, seed=5)
+    short = jnp.full((1024,), 1e-4, jnp.float32)
+    out = ps.trace_closest_stream(paged, o, d, short, interpret=True)
+    assert np.all(np.asarray(out.tri) == -1)
+
+
+def test_render_wave_on_stream_path(monkeypatch):
+    """End-to-end: force a ~1000-tri scene's merged wide tables onto the
+    paged streaming path (tiny VMEM budget + tiny pages) and check the
+    rendered wave matches the XLA reference path."""
+    import jax.numpy as jnp2
+
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops import buffers as buf_mod
+    from gpu_raytracer_tpu.ops import pallas_wide as pw
+    from gpu_raytracer_tpu.bvh import stream as sm2
+    from tests.test_pallas_shade import _mixed_scene
+
+    monkeypatch.setattr(pw, "VMEM_LIMIT", 8 * 1024 * 1024)
+    monkeypatch.setattr(sm2, "PAGE_ROWS", 48)
+
+    W = H = 32
+    scene = _mixed_scene(W)
+    buffers = buf_mod.build_scene_buffers(scene)
+    assert buffers["wide"] is None
+    assert buffers.get("wide_stream") is not None
+    assert buffers.get("stream_prim") is not None
+
+    camera = {k: jnp2.asarray(v) for k, v in scene.camera.params().items()}
+    pix = jnp2.arange(W * H, dtype=jnp2.int32)
+    config = GPUConfig(num_bounces=3)
+    a, ra = render_wave(buffers, camera, pix, 1, config, W, 0, True, True)
+    b, rb = render_wave(buffers, camera, pix, 1, config, W, 0, True, True,
+                        use_stream=True)
+    assert float(ra) == float(rb)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)
