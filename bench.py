@@ -265,8 +265,47 @@ def bench_anchor():
     return compare(img, "/root/reference/Screenshots/atrium.png")
 
 
+def _tpu_reachable(timeout=180) -> bool:
+    """Probe the axon TPU tunnel in a SUBPROCESS: when the tunnel is down,
+    backend init hangs forever inside this process and no guard after the
+    fact can help."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    import jax
+
+    if not _tpu_reachable():
+        jax.config.update("jax_platforms", "cpu")
+
     from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
+
+    if jax.default_backend() != "tpu":
+        # No chip (axon tunnel down): emit a clearly-flagged CPU smoke line
+        # instead of hanging for hours on a 1080p CPU render.
+        cor_mrays, cor_ms, paths = bench_scene(
+            "/root/reference/Data/cornellbox/scene.xml", 128, 128, 3, None,
+            samples=2)
+        print(json.dumps({
+            "metric": "Mrays/s cornell128 CPU-SMOKE (no TPU reachable)",
+            "value": round(cor_mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "backend": jax.default_backend(),
+            "paths": paths,
+        }))
+        return 0
 
     sponza = "/root/reference/Data/Sponza/scene.xml"
     cornell = "/root/reference/Data/cornellbox/scene.xml"

@@ -37,10 +37,12 @@ from gpu_raytracer_tpu.scene.scene import Scene
 
 
 @functools.partial(jax.jit, static_argnames=("config", "width", "seed",
-                                              "use_pallas", "use_wide"))
+                                              "use_pallas", "use_wide",
+                                              "use_stream"))
 def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                    sample_index, config: GPUConfig, width: int, seed: int = 0,
-                   use_pallas: bool = False, use_wide: bool = False):
+                   use_pallas: bool = False, use_wide: bool = False,
+                   use_stream: bool = False):
     """One AO sample for a wave of pixels -> (R, 3) grayscale visibility."""
     R = pixel_index.shape[0]
     nodes, tris = buffers["nodes"], buffers["tris"]
@@ -48,7 +50,17 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
     ray_o, ray_d = generate_primary_rays(
         camera, pixel_index, width, sample_index, config.reconstruction_filter, seed)
-    if use_wide:
+    if use_stream:
+        from gpu_raytracer_tpu.ops.pallas_stream import trace_closest_stream
+
+        hit = trace_closest_stream(buffers["wide_stream"], ray_o, ray_d,
+                                   jnp.full(R, INF))
+        p_inst, p_tri = buffers["stream_prim"]
+        code = jnp.maximum(hit.tri, 0)
+        ok = hit.tri >= 0
+        hit = hit._replace(tri=jnp.where(ok, p_tri[code], hit.tri),
+                           inst=jnp.where(ok, p_inst[code], hit.inst))
+    elif use_wide:
         hit = trace_closest_wide(*buffers["wide"], ray_o, ray_d,
                                  jnp.full(R, INF))
         pm = buffers.get("wide_prim_map")
@@ -86,7 +98,12 @@ def render_wave_ao(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     ao_o = _offset_origin(point, ao_dir, geom_n)
 
     ao_tmax = jnp.where(hit_surface, jnp.float32(config.ao_radius), 0.0)
-    if use_wide:
+    if use_stream:
+        from gpu_raytracer_tpu.ops.pallas_stream import trace_any_stream
+
+        occluded = trace_any_stream(buffers["wide_stream"], ao_o, ao_dir,
+                                    ao_tmax)
+    elif use_wide:
         from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
 
         occluded = trace_sorted(
@@ -143,9 +160,12 @@ class AO:
                       and jax.default_backend() == "tpu")
         use_wide = (not use_pallas and self.buffers.get("wide") is not None
                     and jax.default_backend() == "tpu")
+        use_stream = (self.buffers.get("wide_stream") is not None
+                      and jax.default_backend() == "tpu")
         frame = render_wave_ao(self.buffers, camera, idx, self.sample_index,
                                self.gpu_config, self.width, self.cpu_config.seed,
-                               use_pallas=use_pallas, use_wide=use_wide)
+                               use_pallas=use_pallas, use_wide=use_wide,
+                               use_stream=use_stream)
         self.accumulator = self.accumulator + (frame - self.accumulator) / (self.sample_index + 1)
         self.sample_index += 1
 

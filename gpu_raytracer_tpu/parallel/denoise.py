@@ -14,7 +14,13 @@ The à-trous/variance stencils and the reprojection gathers are written as
 plain jnp ops; GSPMD propagates the row sharding through them and inserts
 the halo/gather collectives itself — the XLA-native alternative to
 hand-written ppermute halo exchange. The whole frame is one jit, so the
-trace -> denoise boundary never leaves the device."""
+trace -> denoise boundary never leaves the device.
+
+The single-chip path routes the spatial stages through fused Pallas
+stencils (ops/pallas_svgf.py); here they stay XLA on purpose: a sharded
+pallas_call would need hand-written ppermute halo exchange per pass for
+the 32-pixel à-trous halos, while GSPMD already inserts exactly those
+collectives around the jnp form."""
 
 from __future__ import annotations
 

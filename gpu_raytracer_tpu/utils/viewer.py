@@ -181,6 +181,35 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                         times = stage_times(integrator, repeats=2)
                         print("\x1b[Hstage times:\x1b[K\n"
                               + format_stage_times(times) + "\x1b[K")
+                    elif k in "fFoO":
+                        # Live camera lens edits (reference ImGui camera
+                        # section, Main.cpp:471-496): f/F focal distance,
+                        # o/O aperture radius.
+                        if k in "fF":
+                            camera.focal_distance = float(np.clip(
+                                camera.focal_distance * (1.1 if k == "f" else 0.9),
+                                0.05, 1e6))
+                        else:
+                            camera.aperture_radius = float(np.clip(
+                                camera.aperture_radius + (0.01 if k == "o" else -0.01),
+                                0.0, 10.0))
+                        integrator.invalidated.camera = True
+                        integrator.update(0.0)
+                        print(f"\x1b[Hlens: focal={camera.focal_distance:.2f}"
+                              f" aperture={camera.aperture_radius:.3f}\x1b[K")
+                    elif k in "nN" and hasattr(integrator, "gpu_config"):
+                        # SVGF filter size (reference ImGui SVGF section,
+                        # Main.cpp:520-545): n/N atrous iterations.
+                        import dataclasses as _dc
+
+                        g = integrator.gpu_config
+                        it = int(np.clip(g.svgf_atrous_iterations
+                                         + (1 if k == "n" else -1), 0, 6))
+                        integrator.gpu_config = _dc.replace(
+                            g, svgf_atrous_iterations=it)
+                        integrator.invalidated.gpu_config = True
+                        integrator.update(0.0)
+                        print(f"\x1b[Hsvgf atrous iterations = {it}\x1b[K")
                     elif k == "r":
                         # Hot reload: rebuild device buffers + re-trace (F5).
                         integrator.init_device()
@@ -188,8 +217,10 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                     camera.update(0.0)
                     integrator.invalidated.camera = True
                     # Async: transform-edit re-packing overlaps the device
-                    # still executing the previous frame's dispatch.
-                    integrator.update_async(delta)
+                    # still executing the previous frame's dispatch (AO has
+                    # no async path - its update is a full rebuild).
+                    getattr(integrator, "update_async",
+                            integrator.update)(delta)
 
             if integrator.gpu_config.enable_svgf:
                 integrator.render_frame_denoised()
@@ -202,7 +233,8 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
             sys.stdout.write(
                 f"spp {integrator.sample_index}  {stats['avg_ms']:.0f} ms/frame "
                 f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, IJKL crosshair, "
-                f"p query, []/-+ edit material, t timings, r reload, x quit]\x1b[K\n")
+                f"p query, []/-+ material, f/o lens, n svgf, t timings, "
+                f"r reload, x quit]\x1b[K\n")
             sys.stdout.flush()
 
             if not interactive and target_samples and \
