@@ -283,13 +283,27 @@ def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                  t_out, tri_out,
                  page_vmem, stack_ref, sem):
+    # Double-buffered page DMA: tile i traverses slot i%2 while tile i+1's
+    # page streams into the other slot (guide: Patterns/Double Buffering).
     i = pl.program_id(0)
-    pid = pid_ref[i]
+    n = pl.num_programs(0)
     root = root_ref[i]
+    slot = jax.lax.rem(i, 2)
 
-    copy = pltpu.make_async_copy(pages_ref.at[pid], page_vmem, sem)
-    copy.start()
-    copy.wait()
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(pages_ref.at[pid_ref[0]], page_vmem.at[0],
+                              sem.at[0]).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        nxt = jax.lax.rem(i + 1, 2)
+        pltpu.make_async_copy(pages_ref.at[pid_ref[i + 1]],
+                              page_vmem.at[nxt], sem.at[nxt]).start()
+
+    pltpu.make_async_copy(pages_ref.at[pid_ref[i]], page_vmem.at[slot],
+                          sem.at[slot]).wait()
+    page_vmem = page_vmem.at[slot]
 
     wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
     wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -387,11 +401,11 @@ def _phase2(pages, tile_pid, tile_root, ray_o, ray_d, t_max, any_hit,
         out_specs=[tile_spec, tile_spec],
         out_shape=[jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((page_rows, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, page_rows, 128), jnp.float32),
                         pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(page_rows * 512 * 2 + 16 * 1024 * 1024,
+            vmem_limit_bytes=min(page_rows * 512 * 3 + 16 * 1024 * 1024,
                                  120 * 1024 * 1024)),
         interpret=interpret,
     )(pages, tile_pid, tile_root,
