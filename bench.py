@@ -247,6 +247,13 @@ def bench_stream(n_tris=5_000_000, R=1 << 20):
               if not isinstance(v, int)}
     st_mrays = rate(lambda: pallas_stream.trace_closest_stream(
         tables, o, d, tmax))
+    _, _, ovf = pallas_stream._trace_stream(
+        tables["resident"], tables["pages"], tables["portal_page"],
+        tables["portal_root"], o, d, tmax)
+    n_ovf = int((np.asarray(ovf) > 0).sum())
+    if n_ovf:
+        print(f"[bench] stream probe: {n_ovf} rays overflowed the "
+              f"{pallas_stream.K_PORTALS}-portal list", file=sys.stderr)
     return st_mrays, res_mrays
 
 

@@ -50,7 +50,12 @@ BLOCK = 1024
 SHAPE = (8, 128)
 GANGS = 8
 IDLE = -2_000_000_000
-K_PORTALS = 12          # per-lane pending-portal list length
+# Per-lane pending-portal list length. With production 2 MiB pages a
+# portal's AABB is large, so a ray's frustum crosses few portals; lanes
+# that still record more than K report through the `ovf` output (the
+# bench stream probe asserts it stays zero) — geometry in dropped portals
+# is missed, so callers sizing smaller pages must raise K accordingly.
+K_PORTALS = 16
 MAX_ROUNDS = 64
 
 # Test hook: CPU-backend tests flip this to run through the interpreter.
