@@ -69,6 +69,50 @@ def resample_mitchell(img, screen_pos):
     return colour, ok
 
 
+def resample_mitchell_quad(img, screen_pos):
+    """resample_mitchell with ONE gather instead of 16.
+
+    TPU gathers are HBM-latency-bound per START (ops/vec.py findings), so
+    16 per-tap image gathers dominate the TAA cost at 1080p. Instead the
+    whole 4x4 footprint is prebuilt as a 48-channel quad image (15 cheap
+    bandwidth shifts), gathered ONCE at the clipped footprint base, and
+    each tap selects its quadrant by lane mask — the same design as the
+    SVGF reproject (ops/svgf.reproject). Exact: for every in-bounds tap
+    the footprint base clipping keeps the tap inside the gathered 4x4
+    window, and out-of-bounds taps have zero weight."""
+    H, W = img.shape[0], img.shape[1]
+    px = screen_pos[..., 0] - 0.5
+    py = screen_pos[..., 1] - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    xb = jnp.clip(x0 - 1, 0, W - 4)
+    yb = jnp.clip(y0 - 1, 0, H - 4)
+
+    quad = jnp.concatenate(
+        [_shift(img, -dy, -dx) for dy in range(4) for dx in range(4)],
+        axis=-1)                                   # (H, W, 48)
+    rows = quad.reshape(H * W, 48)[yb * W + xb].reshape(H, W, 48)
+
+    colour = jnp.zeros(img.shape, jnp.float32)
+    weight = jnp.zeros((H, W), jnp.float32)
+    for j in range(-1, 3):
+        for i in range(-1, 3):
+            xi = x0 + i
+            yi = y0 + j
+            w = _mitchell(px - xi) * _mitchell(py - yi)
+            in_bounds = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            w = jnp.where(in_bounds, w, 0.0)
+            slot = jnp.clip(yi - yb, 0, 3) * 4 + jnp.clip(xi - xb, 0, 3)
+            val = rows[..., 0:3]
+            for s in range(1, 16):
+                val = jnp.where((slot == s)[..., None],
+                                rows[..., s * 3: s * 3 + 3], val)
+            colour = colour + w[..., None] * val
+            weight = weight + w
+    ok = weight > 1e-5
+    return colour / jnp.maximum(weight, 1e-5)[..., None], ok
+
+
 def _shift(img, dy, dx):
     H, W = img.shape[0], img.shape[1]
     pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + \
@@ -80,7 +124,7 @@ def _shift(img, dy, dx):
 def taa_step(current, prev_frame, screen_prev):
     """-> antialiased frame (reference: TAA.h:56-141). `current` and
     `prev_frame` are in the pre-tonemapped TAA colour space."""
-    history, history_ok = resample_mitchell(prev_frame, screen_prev)
+    history, history_ok = resample_mitchell_quad(prev_frame, screen_prev)
 
     # 3x3 YCoCg neighborhood statistics with border guards
     # (reference: TAA.h:56-128).

@@ -199,3 +199,20 @@ class TestProjectToScreen:
         screen = np.asarray(svgf_ops.project_to_screen(pts, vp, W, H))[0, 0]
         assert abs(screen[0] - W / 2) < 1.5
         assert abs(screen[1] - H / 2) < 1.5
+
+
+def test_taa_quad_resample_matches_reference_form():
+    """The one-gather quad Mitchell resample must be bit-exact vs the
+    16-gather reference form, including off-screen and border positions."""
+    import numpy as np
+
+    from gpu_raytracer_tpu.ops import taa
+
+    rng = np.random.default_rng(0)
+    H, W = 37, 53
+    img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    pos = rng.uniform(-2, max(H, W) + 2, (H, W, 2)).astype(np.float32)
+    a, oka = taa.resample_mitchell(img, jnp.asarray(pos))
+    b, okb = taa.resample_mitchell_quad(img, jnp.asarray(pos))
+    assert float(jnp.abs(a - b).max()) < 1e-5
+    assert bool((oka == okb).all())
