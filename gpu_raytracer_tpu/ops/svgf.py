@@ -98,9 +98,14 @@ def reproject(frame: dict, history: SVGFHistory, screen_prev,
     # SVGF.h:83-98). TPU gathers are HBM-latency-bound per START, so the
     # naive form (4 taps x 7 history fields = 28 image gathers) costs
     # ~850 ms at 1080p. Instead the WHOLE history packs into one
-    # (H, W, 16) image whose 2x2 neighborhood is prebuilt as a 56-channel
+    # (H, W, 16) image whose 2x2 neighborhood is prebuilt as a 64-channel
     # quad image (4 cheap bandwidth shifts): the entire reproject then
     # needs ONE gather, and each tap selects its quadrant by lane mask.
+    # The quad materialization costs ~0.5 GB of sequential HBM traffic
+    # (<2 ms at chip bandwidth) — deliberately traded for 3 fewer gathers
+    # (~30 ms of start latency EACH at 1080p, measured round 2); the
+    # alternative "4 gathers of the bare 16-channel image" pays 4x the
+    # start latency to save bandwidth that is not the bottleneck.
     px = screen_prev[..., 0] - 0.5
     py = screen_prev[..., 1] - 0.5
     x0 = jnp.floor(px).astype(jnp.int32)
