@@ -10,19 +10,21 @@ docstring for the partitioning):
 
   PASS 2 (paged rounds, driven from XLA inside one jit): while any ray has
   a pending portal nearer than its current best hit, pick each ray's
-  globally most-popular pending portal (coordinated selection — tiles come
-  out near-uniform), sort rays by portal id, and launch the page kernel: each 1024-ray tile DMAs ITS portal's page (scalar-prefetched page
-  id) from HBM into VMEM, then runs the same gang traversal rooted at the
-  portal's local root. Rays that landed in a tile processing a different
-  portal simply keep their pending entry for the next round (the sort makes
-  that rare). Hits fold into the running best; occlusion drains pending.
+  globally most-popular pending portal (coordinated selection — gangs come
+  out near-uniform), sort rays by portal id, and launch the page kernel:
+  each 128-ray GANG DMAs its own portal's page (scalar-prefetched page id)
+  from HBM into its VMEM slot and traverses from the portal's local root —
+  up to 8 distinct portals retire per 1024-ray tile per round. Rays that
+  landed in a gang processing a different portal keep their pending entry
+  for the next round (the sort makes that rare). Hits fold into the
+  running best; occlusion drains pending.
 
   This mirrors the ROLE of the reference's DRAM-streaming CWBVH traversal
   (/root/reference/Src/CUDA/Raytracing/BVH8.h:19-27 — node fetches are
   size-independent) with TPU mechanics: sequential DMA of 2 MiB pages
   instead of per-thread cached gathers, and ray/portal sorting instead of
   a hardware cache. Cost model: each round streams only the pages that
-  have waiting rays, each page once per ~1024 waiting rays.
+  have waiting rays, one page copy per 128 waiting rays.
 
 Scope: merged static-scene tables only (no instance rows / RESTORE) — the
 configuration big scenes actually use (bvh/stream.py gate).
@@ -66,20 +68,22 @@ def _bc(col):
     return jax.lax.broadcast_in_dim(col, SHAPE, (0, 1))
 
 
-def _gang_body(any_hit, with_portals, tab, vs, sps, stack_ref, state,
-               portal_rec=None):
-    """One traversal iteration shared by both passes. `tab` is a callable
-    row -> (128,) load from the pass's unified table; `vs`/`sps` the popped
-    entries / stack pointers; `state` the ray tuple. Returns updated
-    (sps, state). `portal_rec(pid_col, tn)` is called per portal child."""
+def _gang_body(any_hit, with_portals, load_row, n_rows, vs, sps, stack_ref,
+               state, portal_rec=None):
+    """One traversal iteration shared by both passes. `load_row(g, idx)`
+    loads row `idx` of gang g's unified table ((128,) f32 — phase 1 shares
+    one resident table, phase 2 gives each gang its own VMEM page);
+    `vs`/`sps` the popped entries / stack pointers; `state` the ray tuple.
+    Returns updated (sps, state). `portal_rec` is called on portal
+    children."""
     (ox, oy, oz, dx, dy, dz, ix, iy, iz, t_max, dead,
      best_t, best_tri, occ) = state
 
     rows = []
     for g in range(GANGS):
         v = vs[g]
-        idx = jnp.where(v >= 0, v, jnp.clip(-v - 2, 0, tab.shape[0] - 1))
-        rows.append(tab[idx])
+        idx = jnp.where(v >= 0, v, jnp.clip(-v - 2, 0, n_rows - 1))
+        rows.append(load_row(g, idx))
     blk = jnp.stack(rows)                        # (8, 128)
 
     gang_col = jax.lax.broadcasted_iota(jnp.int32, (GANGS, 1), 0)
@@ -264,7 +268,9 @@ def _resident_kernel(any_hit, tab_ref,
             rec_cnt[0] = jax.lax.cond(portal_any > 0, do_rec,
                                       lambda c: c, rec_cnt[0])
 
-        sps, state = _gang_body(any_hit, True, tab_ref, vs, sps, stack_ref,
+        sps, state = _gang_body(any_hit, True,
+                                lambda g, idx: tab_ref[idx],
+                                tab_ref.shape[0], vs, sps, stack_ref,
                                 state, portal_rec)
         return sps, rec_cnt[0], state
 
@@ -288,27 +294,19 @@ def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                  t_out, tri_out,
                  page_vmem, stack_ref, sem):
-    # Double-buffered page DMA: tile i traverses slot i%2 while tile i+1's
-    # page streams into the other slot (guide: Patterns/Double Buffering).
+    # PER-GANG pages: each of the 8 gangs gets its own portal, page and
+    # VMEM slot (pid_ref/root_ref are indexed per gang slot i*8+g). The 8
+    # DMAs overlap each other; at 2 MiB pages the whole 16 MiB refill is
+    # ~20 us of HBM bandwidth — far below a page traversal — so no
+    # cross-tile double buffering is needed. Duplicated pids across gangs
+    # (common: the round driver sorts rays by portal) just re-copy.
     i = pl.program_id(0)
-    n = pl.num_programs(0)
-    root = root_ref[i]
-    slot = jax.lax.rem(i, 2)
-
-    @pl.when(i == 0)
-    def _():
-        pltpu.make_async_copy(pages_ref.at[pid_ref[0]], page_vmem.at[0],
-                              sem.at[0]).start()
-
-    @pl.when(i + 1 < n)
-    def _():
-        nxt = jax.lax.rem(i + 1, 2)
-        pltpu.make_async_copy(pages_ref.at[pid_ref[i + 1]],
-                              page_vmem.at[nxt], sem.at[nxt]).start()
-
-    pltpu.make_async_copy(pages_ref.at[pid_ref[i]], page_vmem.at[slot],
-                          sem.at[slot]).wait()
-    page_vmem = page_vmem.at[slot]
+    for g in range(GANGS):
+        pltpu.make_async_copy(pages_ref.at[pid_ref[i * GANGS + g]],
+                              page_vmem.at[g], sem.at[g]).start()
+    for g in range(GANGS):
+        pltpu.make_async_copy(pages_ref.at[pid_ref[i * GANGS + g]],
+                              page_vmem.at[g], sem.at[g]).wait()
 
     wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
     wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -316,7 +314,7 @@ def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
     dead = t_max <= 0.0
 
     for g in range(GANGS):
-        stack_ref[g, 0] = root
+        stack_ref[g, 0] = root_ref[i * GANGS + g]
 
     def cond(s):
         sps = s[0]
@@ -328,8 +326,9 @@ def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
     def body(s):
         sps, state = s
         vs, sps = _pop(sps, stack_ref)
-        sps, state = _gang_body(any_hit, False, page_vmem, vs, sps,
-                                stack_ref, state)
+        sps, state = _gang_body(any_hit, False,
+                                lambda g, idx: page_vmem[g, idx],
+                                page_rows, vs, sps, stack_ref, state)
         return sps, state
 
     wix, wiy, wiz = _inv1(wdx), _inv1(wdy), _inv1(wdz)
@@ -406,12 +405,12 @@ def _phase2(pages, tile_pid, tile_root, ray_o, ray_d, t_max, any_hit,
         out_specs=[tile_spec, tile_spec],
         out_shape=[jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((2, page_rows, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((GANGS, page_rows, 128), jnp.float32),
                         pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((GANGS,))],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(page_rows * 512 * 3 + 16 * 1024 * 1024,
-                                 120 * 1024 * 1024)),
+            vmem_limit_bytes=min(page_rows * 512 * (GANGS + 1)
+                                 + 16 * 1024 * 1024, 120 * 1024 * 1024)),
         interpret=interpret,
     )(pages, tile_pid, tile_root,
       _tile(ray_o[:, 0], G), _tile(ray_o[:, 1], G), _tile(ray_o[:, 2], G),
@@ -471,20 +470,21 @@ def _trace_stream(resident, pages, portal_page, portal_root,
         order = jnp.argsort(sel_pid, stable=True)
         inv_order = jnp.argsort(order, stable=True)
         pid_sorted = sel_pid[order]
-        # Tile portal = portal of the tile's first ray; only matching rays
-        # trace this round (the sort makes mismatches rare).
-        tile_first = pid_sorted.reshape(-1, BLOCK)[:, 0]
-        tile_pid_ray = jnp.repeat(tile_first, BLOCK)
-        active_sorted = (pid_sorted == tile_pid_ray) & (pid_sorted < 2 ** 30)
+        # Each GANG (128 sorted rays) serves the portal of its first ray —
+        # up to 8 distinct portals retire per tile per round; only matching
+        # rays trace this round (the sort makes mismatches rare).
+        gang_first = pid_sorted.reshape(-1, 128)[:, 0]
+        gang_pid_ray = jnp.repeat(gang_first, 128)
+        active_sorted = (pid_sorted == gang_pid_ray) & (pid_sorted < 2 ** 30)
 
         o_s = ray_o[order]
         d_s = ray_d[order]
         lim_s = jnp.where(active_sorted, lim[order], 0.0)
-        # All-inactive tiles (tile_first == 2^30 sentinel) clamp to portal 0;
-        # their lanes carry t_max = 0, so the kernel culls everything.
-        tile_pid = jnp.clip(tile_first, 0, portal_page.shape[0] - 1)
-        t2, tri2 = _phase2(pages, portal_page[tile_pid],
-                           portal_root[tile_pid], o_s, d_s, lim_s,
+        # All-inactive gangs (2^30 sentinel) clamp to portal 0; their lanes
+        # carry t_max = 0, so the kernel culls everything.
+        gang_pid = jnp.clip(gang_first, 0, portal_page.shape[0] - 1)
+        t2, tri2 = _phase2(pages, portal_page[gang_pid],
+                           portal_root[gang_pid], o_s, d_s, lim_s,
                            any_hit, interpret)
         t2 = t2[inv_order]
         tri2 = tri2[inv_order]

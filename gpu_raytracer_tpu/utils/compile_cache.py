@@ -21,6 +21,27 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _host_tag() -> str:
+    """Short hash of the host CPU's feature flags. XLA:CPU persists
+    AOT-compiled executables keyed only by HLO; loading an entry compiled
+    on a host with different vector extensions SEGFAULTS/SIGILLs mid-run
+    (seen as the cpu_aot_loader machine-feature warnings followed by a
+    suite crash). Keying the cache directory by CPU flags isolates hosts;
+    TPU entries just land beside the CPU ones of the same host."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at `cache_dir` (default:
     <repo>/.cache/xla). Returns the directory in use, or None on failure."""
@@ -40,7 +61,8 @@ def enable(cache_dir: str | None = None) -> str | None:
             pass
 
     if cache_dir is None:
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+            or _DEFAULT_DIR + "-" + _host_tag()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
