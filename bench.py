@@ -182,6 +182,57 @@ def pallas_parity_check():
     return ok
 
 
+def bench_mixed(W=512, num_bounces=6, samples=4):
+    """BASELINE config #4 proxy (glass-of-water/candles class): rough
+    dielectric + conductor + plastic with Kulla-Conty and a homogeneous
+    medium. The reference Data/ snapshot ships no such scene, so a
+    synthetic one stands in (tests/test_pallas_shade._mixed_scene +
+    medium)."""
+    import sys as _s
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _s.path.insert(0, ".")
+    from tests.test_pallas_shade import _mixed_scene
+
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
+    from gpu_raytracer_tpu.scene.types import Medium
+
+    scene = _mixed_scene(W)
+    # Homogeneous absorbing+scattering medium inside the glass sphere.
+    scene.mediums.append(Medium.from_sigmas(
+        "juice", [0.4, 0.1, 0.1], [0.2, 0.2, 0.2]))
+    glass = next(m for m in scene.materials if m.name == "glass")
+    glass.medium_id = 0
+    scene.finalize()
+    buffers = build_scene_buffers(scene)
+    config = GPUConfig(num_bounces=num_bounces)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
+    pix = jnp.asarray(tile_order(W, W))
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = buffers.get("pallas") is not None and on_tpu
+    use_wide = (buffers.get("wide") is not None and on_tpu
+                and not use_pallas)
+
+    def sample(s):
+        return render_wave(buffers, camera, pix, s, config, W, 0, True,
+                           True, has_media=True, use_pallas=use_pallas,
+                           use_wide=use_wide, mat_types=mat_types)
+    radiance, rays = sample(0)
+    jax.block_until_ready(radiance)
+    t0 = time.time()
+    for s in range(1, samples + 1):
+        radiance, rays = sample(s)
+    jax.block_until_ready(radiance)
+    return float(rays) * samples / (time.time() - t0) / 1e6
+
+
 def bench_stream(n_tris=5_000_000, R=1 << 20):
     """Beyond-VMEM streaming probe (VERDICT r2 item 5): a synthetic
     n_tris soup forced through the paged kernel vs a same-density
@@ -342,6 +393,11 @@ def main() -> int:
         print(f"[bench] stream probe failed: {e}", file=sys.stderr)
         st_mrays = res_mrays = None
     try:
+        mixed_mrays = bench_mixed()
+    except Exception as e:
+        print(f"[bench] mixed/media scene failed: {e}", file=sys.stderr)
+        mixed_mrays = None
+    try:
         anchor = bench_anchor()
     except Exception as e:
         print(f"[bench] anchor failed: {e}", file=sys.stderr)
@@ -358,6 +414,8 @@ def main() -> int:
         "instancing512_mrays": round(inst_mrays, 3) if inst_mrays else None,
         "pallas_tpu_parity_ok": parity,
         "paths": paths,
+        "mixed_media512_mrays": (round(mixed_mrays, 3)
+                                 if mixed_mrays else None),
         "stream5M_mrays": round(st_mrays, 3) if st_mrays else None,
         "stream_vs_resident": (round(st_mrays / res_mrays, 3)
                                if st_mrays and res_mrays else None),
