@@ -25,6 +25,34 @@ compile_cache.enable()
 
 import pytest  # noqa: E402
 
+# The full suite accumulates ~60k memory maps (one compiled XLA executable
+# and its constant buffers per unique jit signature, plus interpret-mode
+# Pallas allocations); hitting vm.max_map_count (default 65530) makes mmap
+# fail and the allocator SEGFAULT mid-suite (seen deterministically at
+# ~112 tests). Best effort: raise the limit, and drop JAX's in-process
+# executable caches whenever maps run high — the persistent compilation
+# cache makes later re-compiles cheap disk loads.
+try:  # pragma: no cover - environment-dependent
+    import subprocess
+
+    subprocess.run(["sysctl", "-w", "vm.max_map_count=524288"],
+                   capture_output=True, timeout=10)
+except Exception:
+    pass
+
+
+@pytest.fixture(autouse=True)
+def _map_count_guard():
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 45_000:
+        jax.clear_caches()
+
+
 REFERENCE_DATA = "/root/reference/Data"
 
 
