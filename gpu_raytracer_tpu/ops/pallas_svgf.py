@@ -269,6 +269,13 @@ def _run_stencil(kernel_fn, guide_p, dyn_p, G, Wc, interpret):
         out_specs=pl.BlockSpec((8, TH, Wc), lambda j: (0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, G * TH, Wc), jnp.float32),
+        # The unrolled 49-tap bodies keep many live band-sized temporaries;
+        # the default 16 MB scoped-vmem cap OOMs even at small widths. Size
+        # the cap to the working set: 2x double-buffered input windows +
+        # output band + ~24 band temporaries.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(guide_p, guide_p, dyn_p, dyn_p)
     return out
