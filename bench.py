@@ -7,11 +7,22 @@ actually traced (primary + bounce + shadow). The north star is Sponza 1080p
 1spp+SVGF at >= 30 FPS on one chip ~= 240 Mrays/s; `vs_baseline` is the
 fraction of that target.
 
-Extra fields record the Cornell proxy (round-1 continuity) and the
-SVGF+TAA denoised-frame time at 1080p.
+Budget discipline (VERDICT r3 item 5): every probe checks a global deadline
+(env BENCH_BUDGET_S, default 1500 s) before starting; skipped probes emit
+null fields, and the JSON line ALWAYS prints. The Sponza scene/buffers are
+built ONCE and shared by the Sponza probes (the build is the single most
+expensive host step).
+
+Anchors: the primary external anchor is Data/instancing vs the reference's
+own instancing.png screenshot (same scene file, same scene.xml camera).
+Sponza vs atrium.png is kept with an attribution: atrium.png is the
+Dabrovic ATRIUM (enclosed barrel vault, no curtains/plants), a scene ABSENT
+from the Data snapshot — the Crytek Sponza that Data/Sponza/scene.xml loads
+cannot reproduce it from any POV (the 9-POV sweep quantifies that).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,60 +32,93 @@ compile_cache.enable()
 
 NORTH_STAR_MRAYS = 240.0
 
+_T0 = time.time()
+_DEADLINE = _T0 + float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
-def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
-    import jax
-    import jax.numpy as jnp
+
+def _left() -> float:
+    return _DEADLINE - time.time()
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _load_scene(scene_file, W, H):
     import numpy as np
 
-    from gpu_raytracer_tpu.config import CPUConfig, GPUConfig
-    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.config import CPUConfig
     from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
-    from gpu_raytracer_tpu.ops.camera_rays import tile_order
     from gpu_raytracer_tpu.scene import Scene
 
     scene = Scene.from_config(CPUConfig(scene_filenames=[scene_file]))
     scene.film_width, scene.film_height = W, H
     scene.camera.resize(W, H)
-
-    config = GPUConfig(num_bounces=num_bounces)
     buffers = build_scene_buffers(scene)
-    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
-    pixel_index = jnp.asarray(tile_order(W, H))
+    return scene, buffers
+
+
+def _set_pov(scene, pov):
+    import numpy as np
+
+    if pov is not None:
+        pos, rot = pov
+        scene.camera.position = np.asarray(pos, np.float32)
+        scene.camera.rotation = np.asarray(rot, np.float32)
+    scene.camera.update(0.0)
+
+
+def _paths(buffers, W, H, num_bounces):
+    import jax
 
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = buffers.get("pallas") is not None and on_tpu
     use_shade = (use_pallas and buffers.get("pallas_shade") is not None
                  and W % 32 == 0 and H % 32 == 0 and num_bounces <= 12)
-    use_wide = (buffers.get("wide") is not None and on_tpu
-                and not use_pallas)
+    use_wide = buffers.get("wide") is not None and on_tpu and not use_pallas
     use_gather = (buffers.get("shade_gather") is not None and on_tpu
                   and not use_shade)
     use_stream = buffers.get("wide_stream") is not None and on_tpu
+    return {"wide": use_wide, "pallas": use_pallas, "shade": use_shade,
+            "gather_shade": use_gather, "stream": use_stream}
+
+
+def bench_scene(scene, buffers, W, H, num_bounces, povs, samples=2):
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
+
+    scene.film_width, scene.film_height = W, H
+    scene.camera.resize(W, H)
+    config = GPUConfig(num_bounces=num_bounces)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
+    pixel_index = jnp.asarray(tile_order(W, H))
+    p = _paths(buffers, W, H, num_bounces)
 
     def sample(camera, s):
         return render_wave(buffers, camera, pixel_index, s, config, W, 0,
                            scene.has_lights, True,
                            has_textures=len(scene.textures) > 0,
-                           use_pallas=use_pallas, use_pallas_shade=use_shade,
-                           use_wide=use_wide, use_gather_shade=use_gather,
-                           use_stream=use_stream, mat_types=mat_types)
+                           use_pallas=p["pallas"],
+                           use_pallas_shade=p["shade"],
+                           use_wide=p["wide"],
+                           use_gather_shade=p["gather_shade"],
+                           use_stream=p["stream"], mat_types=mat_types)
 
-    import sys as _sys
     results = []
     if not povs:
-        povs = [(tuple(scene.camera.position), tuple(scene.camera.rotation))]
-    for pos, rot in povs:
-        import numpy as np
-        scene.camera.position = np.asarray(pos, np.float32)
-        scene.camera.rotation = np.asarray(rot, np.float32)
-        scene.camera.update(0.0)
+        povs = [None]
+    for pov in povs:
+        _set_pov(scene, pov)
         camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
         t_c = time.time()
         radiance, rays = sample(camera, 0)  # warmup/compile
         jax.block_until_ready(radiance)
-        print(f"[bench] {scene_file.split('/')[-2]} warmup {time.time()-t_c:.0f}s",
-              file=_sys.stderr, flush=True)
+        _log(f"scene {W}x{H} warmup {time.time() - t_c:.0f}s")
         t0 = time.time()
         for s in range(1, samples + 1):
             radiance, rays = sample(camera, s)
@@ -84,39 +128,57 @@ def bench_scene(scene_file, W, H, num_bounces, povs, samples=2):
                         elapsed / samples * 1000.0))
     mrays = sum(r[0] for r in results) / len(results)
     ms = sum(r[1] for r in results) / len(results)
-    return mrays, ms, {"wide": use_wide, "pallas": use_pallas,
-                       "shade": use_shade, "gather_shade": use_gather,
-                       "stream": use_stream}
+    return mrays, ms, p
 
 
-def bench_denoised(scene_file, W, H, frames=3):
-    """SVGF+TAA interactive path: ms per denoised 1spp frame."""
-    import dataclasses
-
+def bench_denoised(scene, buffers, W, H, frames=3):
+    """SVGF+TAA interactive path: ms per denoised 1spp frame, plus the
+    bare traced-sample ms on the same wave so the denoise overhead
+    (frame - trace) is attributed in the output (VERDICT r3 item 2)."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
-    from gpu_raytracer_tpu.config import CPUConfig, GPUConfig
-    from gpu_raytracer_tpu.integrators.pathtracer import Pathtracer
-    from gpu_raytracer_tpu.scene import Scene
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import (
+        Pathtracer, render_wave,
+    )
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
     from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
 
-    scene = Scene.from_config(CPUConfig(scene_filenames=[scene_file]))
     scene.film_width, scene.film_height = W, H
     scene.camera.resize(W, H)
-    pos, rot = POVS_SPONZA[0]
-    scene.camera.position = np.asarray(pos, np.float32)
-    scene.camera.rotation = np.asarray(rot, np.float32)
-    scene.camera.update(0.0)
+    _set_pov(scene, POVS_SPONZA[0])
     gpu = GPUConfig(num_bounces=3, enable_svgf=True, enable_taa=True)
     pt = Pathtracer(scene, gpu_config=gpu)
-    pt.init_device()
+    pt.buffers = buffers  # reuse the shared build
+    pt.accumulator = jnp.zeros((W * H, 3), jnp.float32)
+    pt.invalidated.clear()
+
     out = pt.render_frame_denoised()  # warmup/compile
     t0 = time.time()
     for _ in range(frames):
         out = pt.render_frame_denoised()
-    jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
-    return (time.time() - t0) / frames * 1000.0
+    frame_ms = (time.time() - t0) / frames * 1000.0
+
+    # Bare traced 1spp sample with AOVs (the denoised frame's trace stage).
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    idx = jnp.asarray(tile_order(W, H))
+    p = _paths(buffers, W, H, 3)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
+
+    def trace(s):
+        return render_wave(buffers, camera, idx, s, gpu, W, 0,
+                           scene.has_lights, with_aovs=True,
+                           has_textures=len(scene.textures) > 0,
+                           use_pallas=p["pallas"], use_wide=p["wide"],
+                           use_gather_shade=p["gather_shade"],
+                           use_stream=p["stream"], mat_types=mat_types)
+
+    jax.block_until_ready(trace(0))
+    t0 = time.time()
+    jax.block_until_ready(trace(1))
+    trace_ms = (time.time() - t0) * 1000.0
+    return frame_ms, trace_ms
 
 
 def pallas_parity_check():
@@ -127,22 +189,17 @@ def pallas_parity_check():
     import jax
     import jax.numpy as jnp
 
-    from gpu_raytracer_tpu.config import CPUConfig
-    from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
     from gpu_raytracer_tpu.ops.camera_rays import generate_primary_rays, tile_order
     from gpu_raytracer_tpu.ops.pallas_traverse import trace_closest_pallas
     from gpu_raytracer_tpu.ops.pallas_wide import trace_closest_wide
+    from gpu_raytracer_tpu.ops.pallas_gang import trace_closest_gang
     from gpu_raytracer_tpu.ops.traverse import trace_closest_tlas
-    from gpu_raytracer_tpu.scene import Scene
 
     if jax.default_backend() != "tpu":
         return None
-    scene = Scene.from_config(CPUConfig(
-        scene_filenames=["/root/reference/Data/cornellbox/scene.xml"]))
-    scene.film_width = scene.film_height = 64
-    scene.camera.resize(64, 64)
+    scene, bufs = _load_scene(
+        "/root/reference/Data/cornellbox/scene.xml", 64, 64)
     scene.camera.update(0.0)
-    bufs = build_scene_buffers(scene)
     camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
     pix = jnp.asarray(tile_order(64, 64))
     from gpu_raytracer_tpu.config import ReconstructionFilter
@@ -158,6 +215,11 @@ def pallas_parity_check():
                                rtol=1e-5, atol=1e-5, equal_nan=True))
     if bufs.get("wide") is not None:
         h = trace_closest_wide(*bufs["wide"], o, d, tmax)
+        ok &= bool(np.allclose(np.asarray(h.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5, equal_nan=True))
+        h = trace_closest_gang(
+            *bufs["wide"], o, d, tmax,
+            flat=bufs.get("wide_prim_map") is not None)
         ok &= bool(np.allclose(np.asarray(h.t), np.asarray(ref.t),
                                rtol=1e-5, atol=1e-5, equal_nan=True))
     # Fused shade megakernel vs the XLA bounce body (diffuse Cornell:
@@ -192,7 +254,6 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     _s.path.insert(0, ".")
     from tests.test_pallas_shade import _mixed_scene
@@ -215,15 +276,12 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
     mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
     pix = jnp.asarray(tile_order(W, W))
     camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
-    on_tpu = jax.default_backend() == "tpu"
-    use_pallas = buffers.get("pallas") is not None and on_tpu
-    use_wide = (buffers.get("wide") is not None and on_tpu
-                and not use_pallas)
+    p = _paths(buffers, W, W, num_bounces)
 
     def sample(s):
         return render_wave(buffers, camera, pix, s, config, W, 0, True,
-                           True, has_media=True, use_pallas=use_pallas,
-                           use_wide=use_wide, mat_types=mat_types)
+                           True, has_media=True, use_pallas=p["pallas"],
+                           use_wide=p["wide"], mat_types=mat_types)
     radiance, rays = sample(0)
     jax.block_until_ready(radiance)
     t0 = time.time()
@@ -234,10 +292,11 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
 
 
 def bench_stream(n_tris=5_000_000, R=1 << 20):
-    """Beyond-VMEM streaming probe (VERDICT r2 item 5): a synthetic
-    n_tris soup forced through the paged kernel vs a same-density
-    VMEM-resident soup through the gang kernel. Returns
-    (stream_mrays, resident_mrays)."""
+    """Beyond-VMEM streaming probe: a synthetic n_tris soup forced through
+    the paged kernel vs a same-density VMEM-resident soup through the gang
+    kernel. Returns (stream_mrays, resident_mrays, residual_lanes) —
+    residual must be 0 (the loss-free re-entry loop resolves every portal
+    overflow, ops/pallas_stream.py)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -249,7 +308,7 @@ def bench_stream(n_tris=5_000_000, R=1 << 20):
     from gpu_raytracer_tpu.scene.types import TriangleData
 
     if jax.default_backend() != "tpu":
-        return None, None
+        return None, None, None
 
     def soup(n, seed):
         rng = np.random.default_rng(seed)
@@ -290,7 +349,7 @@ def bench_stream(n_tris=5_000_000, R=1 << 20):
     nodes = jnp.asarray(resident["nodes"])
     rows = jnp.asarray(resident["rows"])
     res_mrays = rate(lambda: pallas_gang.trace_closest_gang(
-        nodes, rows, o, d, tmax))
+        nodes, rows, o, d, tmax, flat=True))
 
     wv, idx, leaf = pack(n_tris, 2)
     paged = stream_mod.pack_wide_stream(wv, idx, leaf)
@@ -298,47 +357,101 @@ def bench_stream(n_tris=5_000_000, R=1 << 20):
               if not isinstance(v, int)}
     st_mrays = rate(lambda: pallas_stream.trace_closest_stream(
         tables, o, d, tmax))
-    _, _, ovf = pallas_stream._trace_stream(
+    _, _, residual = pallas_stream._trace_stream(
         tables["resident"], tables["pages"], tables["portal_page"],
         tables["portal_root"], o, d, tmax)
-    n_ovf = int((np.asarray(ovf) > 0).sum())
-    if n_ovf:
-        print(f"[bench] stream probe: {n_ovf} rays overflowed the "
-              f"{pallas_stream.K_PORTALS}-portal list", file=sys.stderr)
-    return st_mrays, res_mrays
+    n_res = int((np.asarray(residual) > 0).sum())
+    if n_res:
+        _log(f"stream probe: {n_res} lanes UNRESOLVED after "
+             f"{pallas_stream.MAX_PASSES} re-entry passes")
+    return st_mrays, res_mrays, n_res
 
 
-def bench_anchor():
-    """SSIM vs the reference renderer's own Sponza screenshot
-    (/root/reference/Screenshots/atrium.png) — the external correctness
-    anchor (tools/anchor_compare.py)."""
+def _render_pov(scene, buffers, W, H, spp, pov=None):
+    """Tone-mapped [0,1] render at a POV on the shared buffers."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
+    from gpu_raytracer_tpu.utils.image import tonemap_aces
+
+    scene.film_width, scene.film_height = W, H
+    scene.camera.resize(W, H)
+    _set_pov(scene, pov)
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    idx = jnp.asarray(tile_order(W, H))
+    config = GPUConfig(num_bounces=6)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
+    p = _paths(buffers, W, H, 6)
+    acc = jnp.zeros((W * H, 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + render_wave(buffers, camera, idx, s, config, W, 0,
+                                scene.has_lights,
+                                has_textures=len(scene.textures) > 0,
+                                use_pallas=p["pallas"], use_wide=p["wide"],
+                                use_pallas_shade=p["shade"],
+                                use_gather_shade=p["gather_shade"],
+                                use_stream=p["stream"], mat_types=mat_types)
+    hdr = np.zeros((W * H, 3), np.float32)
+    hdr[np.asarray(idx)] = np.asarray(acc) / spp
+    return tonemap_aces(hdr.reshape(H, W, 3)) ** (1.0 / 2.2)
+
+
+def bench_anchor_instancing():
+    """Primary external anchor: Data/instancing rendered at its own
+    scene.xml camera vs the reference renderer's instancing.png — same
+    scene file, same camera, both engines' own output."""
     import jax
 
     if jax.default_backend() != "tpu":
         return None
     sys.path.insert(0, ".")
-    from tools.anchor_compare import compare, render_scene
+    from tools.anchor_compare import compare
 
-    img = render_scene("/root/reference/Data/Sponza/scene.xml", 512, 16)
-    return compare(img, "/root/reference/Screenshots/atrium.png")
+    scene, buffers = _load_scene(
+        "/root/reference/Data/instancing/scene.xml", 512, 288)
+    img = _render_pov(scene, buffers, 512, 288, 8)
+    return compare(img, "/root/reference/Screenshots/instancing.png",
+                   size=(180, 320))
 
 
-def _tpu_reachable(timeout=180) -> bool:
-    """Probe the axon TPU tunnel in a SUBPROCESS: when the tunnel is down,
-    backend init hangs forever inside this process and no guard after the
-    fact can help."""
-    import os
-    import subprocess
+def bench_anchor_sponza(scene, buffers):
+    """Sponza vs atrium.png, with the scene-mismatch attribution: sweep
+    the scene.xml default camera + all 9 PerfTest POVs at low cost and
+    report the BEST SSIM any POV achieves (atrium.png is the Dabrovic
+    atrium, not the Crytek Sponza the Data snapshot ships — no POV can
+    match it; the sweep quantifies the ceiling)."""
+    import jax
 
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        return False
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            timeout=timeout, capture_output=True)
-        return r.returncode == 0 and b"ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    if jax.default_backend() != "tpu":
+        return None
+    sys.path.insert(0, ".")
+    from tools.anchor_compare import compare
+    from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
+
+    best = None
+    best_pov = "default"
+    povs = [("default", None)] + [(f"pov{i}", p)
+                                  for i, p in enumerate(POVS_SPONZA)]
+    for name, pov in povs:
+        if _left() < 90 and best is not None:
+            break
+        img = _render_pov(scene, buffers, 256, 172, 4, pov)
+        m = compare(img, "/root/reference/Screenshots/atrium.png")
+        if best is None or m["ssim"] > best["ssim"]:
+            best, best_pov = m, name
+    best["best_pov"] = best_pov
+    best["note"] = ("atrium.png is the Dabrovic atrium (enclosed vault, "
+                    "no curtains/plants/lions), a scene absent from the "
+                    "Data snapshot; Data/Sponza is Crytek Sponza, so no "
+                    "POV can reproduce the screenshot. Best-of-10-POV "
+                    "SSIM reported. Missing-texture materials render as "
+                    "their scene.xml reflectance scale (white 1x1 "
+                    "fallback), not pink.")
+    return best
 
 
 def main() -> int:
@@ -352,9 +465,10 @@ def main() -> int:
     if jax.default_backend() != "tpu":
         # No chip (axon tunnel down): emit a clearly-flagged CPU smoke line
         # instead of hanging for hours on a 1080p CPU render.
-        cor_mrays, cor_ms, paths = bench_scene(
-            "/root/reference/Data/cornellbox/scene.xml", 128, 128, 3, None,
-            samples=2)
+        scene, buffers = _load_scene(
+            "/root/reference/Data/cornellbox/scene.xml", 128, 128)
+        cor_mrays, cor_ms, paths = bench_scene(scene, buffers, 128, 128, 3,
+                                               None, samples=2)
         print(json.dumps({
             "metric": "Mrays/s cornell128 CPU-SMOKE (no TPU reachable)",
             "value": round(cor_mrays, 3),
@@ -365,64 +479,115 @@ def main() -> int:
         }))
         return 0
 
-    sponza = "/root/reference/Data/Sponza/scene.xml"
-    cornell = "/root/reference/Data/cornellbox/scene.xml"
+    out = {
+        "metric": "Mrays/s sponza1080p b3 NEE+MIS+tex (3 POV avg)",
+        "value": None, "unit": "Mrays/s", "vs_baseline": None,
+    }
 
     try:
         parity = pallas_parity_check()
     except Exception as e:
-        print(f"[bench] pallas parity check failed: {e}", file=sys.stderr)
+        _log(f"pallas parity check failed: {e}")
         parity = False
+    out["pallas_tpu_parity_ok"] = parity
 
-    mrays, ms, paths = bench_scene(sponza, 1920, 1080, 3, POVS_SPONZA[:3])
-    cor_mrays, cor_ms, _ = bench_scene(cornell, 512, 512, 6, None, samples=4)
+    sponza_scene = sponza_buffers = None
     try:
-        inst_mrays, _, _ = bench_scene(
-            "/root/reference/Data/instancing/scene.xml", 512, 512, 4, None,
-            samples=4)
+        t0 = time.time()
+        sponza_scene, sponza_buffers = _load_scene(
+            "/root/reference/Data/Sponza/scene.xml", 1920, 1080)
+        _log(f"sponza build {time.time() - t0:.0f}s")
+        mrays, ms, paths = bench_scene(sponza_scene, sponza_buffers,
+                                       1920, 1080, 3, POVS_SPONZA[:3])
+        out.update(value=round(mrays, 3),
+                   vs_baseline=round(mrays / NORTH_STAR_MRAYS, 4),
+                   sponza_ms_per_sample=round(ms, 1), paths=paths)
     except Exception as e:
-        print(f"[bench] instancing scene failed: {e}", file=sys.stderr)
-        inst_mrays = None
-    try:
-        den_ms = bench_denoised(sponza, 1920, 1080)
-    except Exception:
-        den_ms = None
-    try:
-        st_mrays, res_mrays = bench_stream()
-    except Exception as e:
-        print(f"[bench] stream probe failed: {e}", file=sys.stderr)
-        st_mrays = res_mrays = None
-    try:
-        mixed_mrays = bench_mixed()
-    except Exception as e:
-        print(f"[bench] mixed/media scene failed: {e}", file=sys.stderr)
-        mixed_mrays = None
-    try:
-        anchor = bench_anchor()
-    except Exception as e:
-        print(f"[bench] anchor failed: {e}", file=sys.stderr)
-        anchor = None
+        _log(f"sponza bench failed: {e}")
 
-    print(json.dumps({
-        "metric": "Mrays/s sponza1080p b3 NEE+MIS+tex (3 POV avg)",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
-        "sponza_ms_per_sample": round(ms, 1),
-        "svgf_taa_1080p_ms_frame": round(den_ms, 1) if den_ms else None,
-        "cornell512_mrays": round(cor_mrays, 3),
-        "instancing512_mrays": round(inst_mrays, 3) if inst_mrays else None,
-        "pallas_tpu_parity_ok": parity,
-        "paths": paths,
-        "mixed_media512_mrays": (round(mixed_mrays, 3)
-                                 if mixed_mrays else None),
-        "stream5M_mrays": round(st_mrays, 3) if st_mrays else None,
-        "stream_vs_resident": (round(st_mrays / res_mrays, 3)
-                               if st_mrays and res_mrays else None),
-        "anchor_sponza": ({k: round(v, 4) for k, v in anchor.items()}
-                          if anchor else None),
-    }))
+    if sponza_buffers is not None and _left() > 240:
+        try:
+            den_ms, trace_ms = bench_denoised(sponza_scene, sponza_buffers,
+                                              1920, 1080)
+            out["svgf_taa_1080p_ms_frame"] = round(den_ms, 1)
+            out["svgf_taa_trace_ms"] = round(trace_ms, 1)
+            out["svgf_taa_denoise_overhead_ms"] = round(den_ms - trace_ms, 1)
+        except Exception as e:
+            _log(f"denoised bench failed: {e}")
+
+    if _left() > 180:
+        try:
+            scene, buffers = _load_scene(
+                "/root/reference/Data/cornellbox/scene.xml", 512, 512)
+            cor_mrays, _, _ = bench_scene(scene, buffers, 512, 512, 6, None,
+                                          samples=4)
+            out["cornell512_mrays"] = round(cor_mrays, 3)
+        except Exception as e:
+            _log(f"cornell failed: {e}")
+
+    if _left() > 180:
+        try:
+            scene, buffers = _load_scene(
+                "/root/reference/Data/instancing/scene.xml", 512, 512)
+            inst_mrays, _, _ = bench_scene(scene, buffers, 512, 512, 4, None,
+                                           samples=4)
+            out["instancing512_mrays"] = round(inst_mrays, 3)
+        except Exception as e:
+            _log(f"instancing failed: {e}")
+
+    if _left() > 150:
+        try:
+            out["mixed_media512_mrays"] = round(bench_mixed(), 3)
+        except Exception as e:
+            _log(f"mixed/media failed: {e}")
+
+    if _left() > 240:
+        try:
+            st, res, residual = bench_stream()
+            out["stream5M_mrays"] = round(st, 3) if st else None
+            out["stream_vs_resident"] = (round(st / res, 3)
+                                         if st and res else None)
+            out["stream_residual_lanes"] = residual
+        except Exception as e:
+            _log(f"stream probe failed: {e}")
+
+    if _left() > 150:
+        try:
+            a = bench_anchor_instancing()
+            out["anchor_instancing"] = (
+                {k: round(v, 4) for k, v in a.items()} if a else None)
+        except Exception as e:
+            _log(f"instancing anchor failed: {e}")
+
+    if sponza_buffers is not None and _left() > 120:
+        try:
+            a = bench_anchor_sponza(sponza_scene, sponza_buffers)
+            if a:
+                out["anchor_sponza"] = {
+                    k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in a.items()}
+        except Exception as e:
+            _log(f"sponza anchor failed: {e}")
+
+    print(json.dumps(out))
     return 0
+
+
+def _tpu_reachable(timeout=180) -> bool:
+    """Probe the axon TPU tunnel in a SUBPROCESS: when the tunnel is down,
+    backend init hangs forever inside this process and no guard after the
+    fact can help."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 if __name__ == "__main__":

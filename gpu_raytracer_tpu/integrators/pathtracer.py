@@ -333,18 +333,25 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 # Bounce waves run on the per-sublane GANG kernel
                 # (ops/pallas_gang.py): each 128-ray gang traverses with
                 # its own stack, so the cost scales with per-gang unions
-                # instead of the whole tile's. Measured on Sponza 522k-ray
-                # diffuse waves: 368 ms unsorted vs the block-sync
-                # kernel's 858 unsorted / 551 sorted (+~120 ms argsort),
-                # so the coherence sort is dropped entirely — bounce
-                # origins already inherit the parent wave's tiling.
+                # instead of the whole tile's. Merged static-scene tables
+                # take the FLAT leaf-postponing variant. The wave is
+                # coherence-sorted IN-JIT first: round-4 chip numbers on a
+                # 522k-ray Sponza diffuse wave — gang 366 ms unsorted,
+                # flat 319 ms unsorted, flat+sort 290 ms including the
+                # argsort and un-sort gathers (the round-3 "+120 ms sort"
+                # was dispatch overhead, not the sort; in-jit it is ~8 ms).
                 from gpu_raytracer_tpu.ops.pallas_gang import (
                     trace_closest_gang,
                 )
+                from gpu_raytracer_tpu.ops.ray_sort import trace_sorted
 
-                hit = trace_closest_gang(
-                    *buffers["wide"], ray_o, ray_d,
-                    jnp.where(alive, INF, jnp.float32(0.0)))
+                flat = buffers.get("wide_prim_map") is not None
+                hit = trace_sorted(
+                    lambda o, d, t: trace_closest_gang(
+                        *buffers["wide"], o, d, t, flat=flat),
+                    ray_o, ray_d, jnp.where(alive, INF, jnp.float32(0.0)),
+                    buffers["nodes"]["root_min"],
+                    buffers["nodes"]["root_max"])
             hit = _decode_wide_hit(hit)
         elif use_pallas:
             hit = trace_closest_pallas(*buffers["pallas"], ray_o, ray_d,
@@ -551,7 +558,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
 
                     occluded = trace_any_gang(
                         *buffers["wide"], out["shadow_o"], out["shadow_d"],
-                        out["shadow_tmax"])
+                        out["shadow_tmax"],
+                        flat=buffers.get("wide_prim_map") is not None)
                 elif use_pallas:
                     occluded = trace_any_pallas(
                         *buffers["pallas"], out["shadow_o"], out["shadow_d"],
@@ -796,8 +804,9 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 # per-sublane drain is another ~10% (32 vs 36 ms).
                 from gpu_raytracer_tpu.ops.pallas_gang import trace_any_gang
 
-                occluded = trace_any_gang(*buffers["wide"], shadow_o,
-                                          to_light, shadow_tmax)
+                occluded = trace_any_gang(
+                    *buffers["wide"], shadow_o, to_light, shadow_tmax,
+                    flat=buffers.get("wide_prim_map") is not None)
             elif use_pallas:
                 occluded = trace_any_pallas(*buffers["pallas"], shadow_o,
                                             to_light, shadow_tmax)
@@ -930,11 +939,21 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                        use_gather_shade=use_gather_shade,
                        use_stream=use_stream, mat_types=mat_types)
 
-    # Un-tile into (H, W) images: one scatter per AOV.
-    def img(x):
-        out = jnp.zeros((height * width,) + x.shape[1:], x.dtype)
-        return out.at[pixel_index].set(x).reshape((height, width)
-                                                  + x.shape[1:])
+    # Un-tile into (H, W) images. When pixel_index is the canonical
+    # tile_order permutation (render_frame_denoised always passes it), the
+    # inverse is pure reshape/transpose (ops/camera_rays.untile) — a
+    # device-permutation scatter costs ~250 ms PER AOV at 1080p, the
+    # reshape is HBM-bandwidth.
+    from gpu_raytracer_tpu.ops.camera_rays import can_untile, untile
+
+    if can_untile(width, height):
+        def img(x):
+            return untile(x, width, height)
+    else:
+        def img(x):
+            out = jnp.zeros((height * width,) + x.shape[1:], x.dtype)
+            return out.at[pixel_index].set(x).reshape((height, width)
+                                                      + x.shape[1:])
 
     frame = {k: img(aovs[k]) for k in
              ("direct", "indirect", "albedo", "normal", "depth",

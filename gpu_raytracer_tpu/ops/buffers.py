@@ -63,11 +63,11 @@ def pack_materials(scene: Scene) -> dict:
         out["k"][i] = m.k
         out["medium"][i] = m.medium_id
         out["texture"][i] = m.texture_id
-    packed = {k: jnp.asarray(v) for k, v in out.items()}
+    packed = dict(out)
     # (M, 24) shading rows [type | emission 3 | diffuse 3 | rough | ior |
     # eta 3 | k 3 | texture | medium | pad]: one fetch_rows per bounce
     # replaces ~16 per-column gathers.
-    packed["rows"] = jnp.asarray(np.concatenate(
+    packed["rows"] = np.asarray(np.concatenate(
         [out["type"][:, None].astype(np.float32), out["emission"],
          out["diffuse"], out["roughness"][:, None], out["ior"][:, None],
          out["eta"], out["k"], out["texture"][:, None].astype(np.float32),
@@ -77,7 +77,7 @@ def pack_materials(scene: Scene) -> dict:
     # material vectors as 3 scalar row gathers (row gathers of (M, 3)
     # relayout the minor dim per ray — measured megacycles on TPU).
     for k in ("emission", "diffuse", "eta", "k"):
-        packed[k + "_T"] = jnp.asarray(np.asarray(out[k]).T.copy())
+        packed[k + "_T"] = np.asarray(out[k]).T.copy()
     return packed
 
 
@@ -91,8 +91,7 @@ def pack_mediums(scene: Scene) -> dict:
     for i, med in enumerate(scene.mediums):
         sigma_a[i], sigma_s[i] = med.to_sigmas()
         g[i] = med.g
-    return {"sigma_a": jnp.asarray(sigma_a), "sigma_s": jnp.asarray(sigma_s),
-            "g": jnp.asarray(g)}
+    return {"sigma_a": sigma_a, "sigma_s": sigma_s, "g": g}
 
 
 def _pack_nodes(node_min, node_max, node_left, node_count) -> dict:
@@ -115,14 +114,14 @@ def _pack_nodes(node_min, node_max, node_left, node_count) -> dict:
     return {
         # Component-major (12, N): row j is a contiguous (N,) gather source;
         # the traversal fetches child AABBs as 12 flat scalar gathers.
-        "child_aabb_T": jnp.asarray(child_aabb.T.copy()),
+        "child_aabb_T": child_aabb.T.copy(),
         # Root AABB for the pre-test + host-side tools.
-        "root_min": jnp.asarray(node_min[0]),
-        "root_max": jnp.asarray(node_max[0]),
-        "min": jnp.asarray(node_min),
-        "max": jnp.asarray(node_max),
-        "left": jnp.asarray(node_left.astype(np.int32)),
-        "count": jnp.asarray(node_count.astype(np.int32)),
+        "root_min": node_min[0].copy(),
+        "root_max": node_max[0].copy(),
+        "min": node_min,
+        "max": node_max,
+        "left": node_left.astype(np.int32),
+        "count": node_count.astype(np.int32),
     }
 
 
@@ -228,26 +227,26 @@ def _pack_instances(scene: Scene, geo: GeometryCache):
         material_id[i] = inst.material_id
         blas_root[i] = geo.blas_root_of_mesh[inst.mesh_data_id]
     return {
-        "transform": jnp.asarray(transform),
-        "transform_inv": jnp.asarray(transform_inv),
-        "transform_prev": jnp.asarray(transform_prev),
+        "transform": transform,
+        "transform_inv": transform_inv,
+        "transform_prev": transform_prev,
         # Flattened transforms for elementwise affine math (batched (R,3,4)
         # einsums lower to padded tiny matmuls on the MXU — measured 7 ms per
         # traversal iteration; 12 scalar FMAs are ~free on the VPU).
         # Component-major (12, I) affine tables: scalar gathers + FMAs only.
-        "inv_T": jnp.asarray(transform_inv.reshape(I, 12).T.copy()),
-        "fwd_T": jnp.asarray(transform.reshape(I, 12).T.copy()),
-        "prev_T": jnp.asarray(transform_prev.reshape(I, 12).T.copy()),
-        "material_id": jnp.asarray(material_id),
-        "blas_root": jnp.asarray(blas_root),
+        "inv_T": transform_inv.reshape(I, 12).T.copy(),
+        "fwd_T": transform.reshape(I, 12).T.copy(),
+        "prev_T": transform_prev.reshape(I, 12).T.copy(),
+        "material_id": material_id,
+        "blas_root": blas_root,
         # (I, 32) shading rows [fwd 12 | inv 12 | material_id | pad]: one
         # fetch_rows per bounce replaces ~25 per-column gathers (ops/vec.py
         # fetch_rows rationale).
-        "rows": jnp.asarray(np.concatenate(
+        "rows": np.concatenate(
             [transform.reshape(I, 12), transform_inv.reshape(I, 12),
              material_id[:, None].astype(np.float32),
-             np.zeros((I, 7), np.float32)], axis=-1)),
-        "prev_rows": jnp.asarray(transform_prev.reshape(I, 12)),
+             np.zeros((I, 7), np.float32)], axis=-1),
+        "prev_rows": transform_prev.reshape(I, 12).copy(),
     }
 
 
@@ -278,20 +277,20 @@ def _build_lights(scene: Scene, geo: GeometryCache):
 
     if not light_tris:
         return {
-            "tri": jnp.zeros(1, jnp.int32),
-            "inst": jnp.zeros(1, jnp.int32),
-            "cdf": jnp.ones(1, jnp.float32),
-            "total_weight": jnp.float32(0.0),
+            "tri": np.zeros(1, np.int32),
+            "inst": np.zeros(1, np.int32),
+            "cdf": np.ones(1, np.float32),
+            "total_weight": np.float32(0.0),
         }, 0
     weights = np.concatenate(weights)
     total = float(weights.sum())
     cdf = np.cumsum(weights) / max(total, 1e-20)
     cdf[-1] = 1.0
     return {
-        "tri": jnp.asarray(np.concatenate(light_tris)),
-        "inst": jnp.asarray(np.concatenate(light_insts)),
-        "cdf": jnp.asarray(cdf.astype(np.float32)),
-        "total_weight": jnp.float32(total),
+        "tri": np.concatenate(light_tris),
+        "inst": np.concatenate(light_insts),
+        "cdf": cdf.astype(np.float32),
+        "total_weight": np.float32(total),
     }, len(weights)
 
 
@@ -363,60 +362,75 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
 
     from gpu_raytracer_tpu.ops.pmj import load_tables
 
-    buffers = {
-        "sampler": load_tables(),
-        "textures": textures,
+    # The whole pytree is packed HOST-SIDE (numpy) and uploaded ONCE at the
+    # end: the derived-table packers below re-read these fields, and a
+    # np.asarray on a device buffer is a device->host readback (hundreds of
+    # ms over slow links; round-4 profile: 312 s of a 366 s Sponza build was
+    # packers downloading buffers this function had just uploaded).
+    scene._lut_samples = lut_samples
+    host = {
         "nodes": nodes,
         "tris": {
             # Component-major (9, T) [p0|e1|e2]: the leaf phase fetches each
             # triangle as 9 flat scalar gathers (TPU-efficient layout).
-            "geo_T": jnp.asarray(packed_tris.astype(np.float32).T.copy()),
-            "p0": jnp.asarray(pos[:, 0]),
-            "e1": jnp.asarray(pos[:, 1] - pos[:, 0]),
-            "e2": jnp.asarray(pos[:, 2] - pos[:, 0]),
-            "n0": jnp.asarray(tris_leaf.normals[:, 0]),
-            "n1": jnp.asarray(tris_leaf.normals[:, 1]),
-            "n2": jnp.asarray(tris_leaf.normals[:, 2]),
-            "uv0": jnp.asarray(tris_leaf.uvs[:, 0]),
-            "uv1": jnp.asarray(tris_leaf.uvs[:, 1]),
-            "uv2": jnp.asarray(tris_leaf.uvs[:, 2]),
+            "geo_T": packed_tris.astype(np.float32).T.copy(),
+            "p0": pos[:, 0].copy(),
+            "e1": pos[:, 1] - pos[:, 0],
+            "e2": pos[:, 2] - pos[:, 0],
+            "n0": tris_leaf.normals[:, 0].copy(),
+            "n1": tris_leaf.normals[:, 1].copy(),
+            "n2": tris_leaf.normals[:, 2].copy(),
+            "uv0": tris_leaf.uvs[:, 0].copy(),
+            "uv1": tris_leaf.uvs[:, 1].copy(),
+            "uv2": tris_leaf.uvs[:, 2].copy(),
             # Component-major (9, T)/(6, T) shading tables (same rationale
             # as geo_T: per-ray fetches are flat scalar gathers).
-            "n_T": jnp.asarray(np.concatenate(
+            "n_T": np.concatenate(
                 [tris_leaf.normals[:, 0], tris_leaf.normals[:, 1],
-                 tris_leaf.normals[:, 2]], axis=-1).astype(np.float32).T.copy()),
-            "uv_T": jnp.asarray(np.concatenate(
+                 tris_leaf.normals[:, 2]], axis=-1).astype(np.float32).T.copy(),
+            "uv_T": np.concatenate(
                 [tris_leaf.uvs[:, 0], tris_leaf.uvs[:, 1],
-                 tris_leaf.uvs[:, 2]], axis=-1).astype(np.float32).T.copy()),
+                 tris_leaf.uvs[:, 2]], axis=-1).astype(np.float32).T.copy(),
             # Row-major (T, 32) hit-shading rows [p0|e1|e2|n0|n1|n2|uv0..2|
             # pad]: XLA gathers on the TPU are HBM-latency-bound per START
             # (~50 ns x R lanes regardless of row width), so ONE 128-byte
             # row gather replaces the 24 per-column gathers the shading
             # stage would otherwise issue — measured 8x cheaper on Sponza.
-            "shade_rows": jnp.asarray(np.concatenate(
+            "shade_rows": np.concatenate(
                 [packed_tris,
                  tris_leaf.normals.reshape(len(packed_tris), 9),
                  tris_leaf.uvs.reshape(len(packed_tris), 6),
                  np.zeros((len(packed_tris), 8), np.float32)],
-                axis=-1).astype(np.float32)),
+                axis=-1).astype(np.float32),
         },
         "instances": _pack_instances(scene, geo),
         "materials": materials,
         "mediums": pack_mediums(scene),
         "lights": lights,
+        "sky": np.asarray(sky, np.float32),
+        "sky_scale": np.float32(scene.sky.scale if scene.sky else 1.0),
+        # luts are device-resident (bake_luts); the KC curve bake below is
+        # disk-cached so the packers don't read them back per build.
         "luts": luts,
-        "sky": jnp.asarray(sky),
-        "sky_scale": jnp.float32(scene.sky.scale if scene.sky else 1.0),
     }
-    buffers["pallas"] = _pack_pallas(buffers)
-    buffers["pallas_shade"] = _pack_pallas_shade(buffers, scene)
-    buffers["shade_gather"] = _pack_shade_gather(buffers, scene)
+    host["pallas"] = _pack_pallas(host)
+    host["pallas_shade"] = _pack_pallas_shade(host, scene)
+    host["shade_gather"] = _pack_shade_gather(host, scene)
     geo.tri_geo = packed_tris.astype(np.float32)
     wide = _pack_wide(scene, geo, geo.tri_geo)
-    buffers["wide"] = wide["tables"] if wide else None
-    buffers["wide_prim_map"] = wide["prim_map"] if wide else None
-    buffers["wide_stream"] = wide.get("stream") if wide else None
-    buffers["stream_prim"] = wide.get("stream_prim") if wide else None
+    host["wide"] = wide["tables"] if wide else None
+    host["wide_prim_map"] = wide["prim_map"] if wide else None
+    host["wide_stream"] = wide.get("stream") if wide else None
+    host["stream_prim"] = wide.get("stream_prim") if wide else None
+    scene._host_buffers = host
+
+    import jax
+
+    buffers = jax.tree.map(jnp.asarray, host)
+    # Device-native side tables (sampler tables, texture pool) join after
+    # the upload: they are never read back by the packers.
+    buffers["sampler"] = load_tables()
+    buffers["textures"] = textures
     return buffers
 
 
@@ -495,8 +509,7 @@ def _pack_wide(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray):
         print(f"[bvh] wide tree needs stack {packed['max_stack']} > kernel "
               f"budget {pallas_wide.STACK_DEPTH}; falling back to XLA")
         return None
-    return {"tables": (jnp.asarray(packed["nodes"]),
-                       jnp.asarray(packed["rows"])),
+    return {"tables": (packed["nodes"], packed["rows"]),
             "prim_map": None}
 
 
@@ -556,9 +569,8 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     if (packed is not None and pallas_wide.supports(n, l)
             and packed["max_stack"] <= pallas_wide.STACK_DEPTH):
         prim_map = (prim_inst << 22) | prim_tri
-        return {"tables": (jnp.asarray(packed["nodes"]),
-                           jnp.asarray(packed["rows"])),
-                "prim_map": jnp.asarray(prim_map)}
+        return {"tables": (packed["nodes"], packed["rows"]),
+                "prim_map": prim_map}
 
     # ---- beyond-VMEM: paged streaming tables (bvh/stream.py) ----
     from gpu_raytracer_tpu.bvh import stream as stream_mod
@@ -576,10 +588,9 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     print(f"[bvh] streaming tables: resident {res_rows * 512 // 2 ** 20} MB"
           f" + {paged['pages'].shape[0]} pages x "
           f"{paged['pages'].shape[1] * 512 // 2 ** 10} KB")
-    stream = {k: jnp.asarray(v) for k, v in paged.items()
-              if isinstance(v, np.ndarray)}
+    stream = {k: v for k, v in paged.items() if isinstance(v, np.ndarray)}
     return {"tables": None, "prim_map": None, "stream": stream,
-            "stream_prim": (jnp.asarray(prim_inst), jnp.asarray(prim_tri))}
+            "stream_prim": (prim_inst, prim_tri)}
 
 
 def _mat_kc_tables(buffers: dict):
@@ -634,9 +645,7 @@ def _pack_pallas_shade(buffers: dict, scene: Scene):
     lgt_tbl[0] = np.asarray(lights["cdf"])
     lgt_tbl[1] = np.asarray(lights["tri"], np.float32)
     lgt_tbl[2] = np.asarray(lights["inst"], np.float32)
-    return (tri_geo, jnp.asarray(tri_nrm), jnp.asarray(inst_a),
-            jnp.asarray(inst_b), jnp.asarray(mat_tbl), jnp.asarray(kc_tbl),
-            jnp.asarray(lgt_tbl))
+    return (tri_geo, tri_nrm, inst_a, inst_b, mat_tbl, kc_tbl, lgt_tbl)
 
 
 def _pack_shade_gather(buffers: dict, scene: Scene):
@@ -684,7 +693,7 @@ def _pack_shade_gather(buffers: dict, scene: Scene):
     lgt_tbl[4:7] = adr(e1)
     lgt_tbl[7:10] = adr(e2)
     lgt_tbl[10:13] = em.T
-    return (jnp.asarray(mat_tbl), jnp.asarray(kc_tbl), jnp.asarray(lgt_tbl))
+    return (mat_tbl, kc_tbl, lgt_tbl)
 
 
 def _pack_pallas(buffers: dict):
@@ -706,41 +715,69 @@ def refresh_tlas(buffers: dict, scene: Scene) -> dict:
     """Per-frame TLAS + instance-table refresh after scene-graph updates
     (reference: Integrator::build_tlas per frame). Shapes are unchanged, so
     jitted pipelines keep their compilations."""
+    import jax
+
     geo: GeometryCache = scene._geometry_cache
+    host: dict = scene._host_buffers
     wmin, wmax = instance_world_aabbs(scene)
     t_min, t_max_, t_left, t_count = build_tlas(wmin, wmax)
     size = geo.tlas_size
 
+    # All repacking runs against the HOST pytree (numpy) kept by
+    # build_scene_buffers; only the refreshed components upload.
     packed = _pack_nodes(t_min, t_max_, t_left, t_count)
+    nodes_h = dict(host["nodes"])
+    for key in ("min", "max", "left", "count"):
+        nodes_h[key] = nodes_h[key].copy()
+        nodes_h[key][:size] = packed[key]
+    nodes_h["child_aabb_T"] = nodes_h["child_aabb_T"].copy()
+    nodes_h["child_aabb_T"][:, :size] = packed["child_aabb_T"]
+    nodes_h["root_min"] = packed["root_min"]
+    nodes_h["root_max"] = packed["root_max"]
+    host = dict(host)
+    host["nodes"] = nodes_h
+    host["instances"] = _pack_instances(scene, geo)
+    fresh = {"instances": host["instances"]}
+
+    lights, _ = _build_lights(scene, geo)
+    # Light CDF shape changes only if light materials changed; that path goes
+    # through a full rebuild (invalidated_materials).
+    if lights["tri"].shape == host["lights"]["tri"].shape:
+        host["lights"] = lights
+        fresh["lights"] = lights
+    if host.get("pallas") is not None:
+        host["pallas"] = _pack_pallas(host)
+        fresh["pallas"] = host["pallas"]
+    if host.get("pallas_shade") is not None:
+        host["pallas_shade"] = _pack_pallas_shade(host, scene)
+        fresh["pallas_shade"] = host["pallas_shade"]
+    if host.get("shade_gather") is not None:
+        host["shade_gather"] = _pack_shade_gather(host, scene)
+        fresh["shade_gather"] = host["shade_gather"]
+    if host.get("wide") is not None or host.get("wide_stream") is not None:
+        # Per-mesh wide BLAS collapses are cached on the MeshData; only the
+        # TLAS head + instance rows are re-derived here (the merged static
+        # path re-packs from the content-hash BVH cache).
+        wide = _pack_wide(scene, geo, geo.tri_geo)
+        host["wide"] = wide["tables"] if wide else None
+        host["wide_prim_map"] = wide["prim_map"] if wide else None
+        host["wide_stream"] = wide.get("stream") if wide else None
+        host["stream_prim"] = wide.get("stream_prim") if wide else None
+        for k in ("wide", "wide_prim_map", "wide_stream", "stream_prim"):
+            fresh[k] = host[k]
+    scene._host_buffers = host
+
+    out = dict(buffers)
+    # The TLAS head lives inside the big unified node arrays: in-place
+    # device .at[].set updates avoid re-uploading the BLAS body.
     nodes = dict(buffers["nodes"])
     for key in ("min", "max", "left", "count"):
         nodes[key] = nodes[key].at[:size].set(packed[key])
     nodes["child_aabb_T"] = nodes["child_aabb_T"].at[:, :size].set(
         packed["child_aabb_T"])
-    nodes["root_min"] = packed["root_min"]
-    nodes["root_max"] = packed["root_max"]
-
-    out = dict(buffers)
+    nodes["root_min"] = jnp.asarray(packed["root_min"])
+    nodes["root_max"] = jnp.asarray(packed["root_max"])
     out["nodes"] = nodes
-    out["instances"] = _pack_instances(scene, geo)
-    lights, _ = _build_lights(scene, geo)
-    # Light CDF shape changes only if light materials changed; that path goes
-    # through a full rebuild (invalidated_materials).
-    if lights["tri"].shape == buffers["lights"]["tri"].shape:
-        out["lights"] = lights
-    if buffers.get("pallas") is not None:
-        out["pallas"] = _pack_pallas(out)
-    if buffers.get("pallas_shade") is not None:
-        out["pallas_shade"] = _pack_pallas_shade(out, scene)
-    if buffers.get("shade_gather") is not None:
-        out["shade_gather"] = _pack_shade_gather(out, scene)
-    if buffers.get("wide") is not None or buffers.get("wide_stream") is not None:
-        # Per-mesh wide BLAS collapses are cached on the MeshData; only the
-        # TLAS head + instance rows are re-derived here (the merged static
-        # path re-packs from the content-hash BVH cache).
-        wide = _pack_wide(scene, geo, geo.tri_geo)
-        out["wide"] = wide["tables"] if wide else None
-        out["wide_prim_map"] = wide["prim_map"] if wide else None
-        out["wide_stream"] = wide.get("stream") if wide else None
-        out["stream_prim"] = wide.get("stream_prim") if wide else None
+    for k, v in fresh.items():
+        out[k] = jax.tree.map(jnp.asarray, v)
     return out

@@ -163,7 +163,9 @@ def bake_luts(num_samples: int = 16384) -> dict:
     cache = os.path.join(_CACHE_DIR, f"kulla_conty_s{num_samples}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
-        return {k: jnp.asarray(data[k]) for k in data.files}
+        out = {k: jnp.asarray(data[k]) for k in data.files}
+        out["tag"] = jnp.float32(num_samples)
+        return out
 
     die_enter = _bake_dielectric_directional(True, num_samples)
     die_leave = _bake_dielectric_directional(False, num_samples)
@@ -180,6 +182,7 @@ def bake_luts(num_samples: int = 16384) -> dict:
     }
     os.makedirs(_CACHE_DIR, exist_ok=True)
     np.savez(cache, **{k: np.asarray(v) for k, v in luts.items()})
+    luts["tag"] = jnp.float32(num_samples)
     return luts
 
 
@@ -197,6 +200,7 @@ def placeholder_luts() -> dict:
         "conductor_dir": jnp.ones((LUT_CONDUCTOR_DIM_ROUGHNESS,
                                    LUT_CONDUCTOR_DIM_COS_THETA), jnp.float32),
         "conductor_avg": jnp.ones(LUT_CONDUCTOR_DIM_ROUGHNESS, jnp.float32),
+        "tag": jnp.float32(-1.0),
     }
 
 
@@ -310,16 +314,50 @@ def bake_material_curves(luts, mats: dict) -> "np.ndarray":
         average_fresnel_conductor,
         average_fresnel_dielectric,
     )
+    from gpu_raytracer_tpu.scene.types import MaterialType
 
     M = int(np.asarray(mats["type"]).shape[0])
+    mtype = np.asarray(mats["type"], np.int32)
     ior = np.asarray(mats["ior"], np.float32)
     rough = np.asarray(mats["roughness"], np.float32)
     eta = np.asarray(mats["eta"], np.float32)
     k = np.asarray(mats["k"], np.float32)
+
+    # Disk cache: each curve column is a pure function of (type, ior,
+    # roughness, eta, k) and the LUT sample count — the bake itself is ~10
+    # device round-trips per material, which dominates scene build time on
+    # slow device links (round-4 profile: 80 s of a Sponza build).
+    import hashlib
+    import os
+
+    lut_tag = int(luts["dielectric_dir_enter"].shape[0] * 1000
+                  + luts["dielectric_dir_enter"].shape[1])
+    samples = float(np.asarray(luts.get("tag", 0.0)))
+    key = hashlib.sha1(np.concatenate(
+        [mtype.astype(np.float32), ior, rough, eta.ravel(), k.ravel(),
+         np.float32([lut_tag, samples, _CURVES_VERSION])]).tobytes()
+    ).hexdigest()[:20]
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache")
+    cache_path = os.path.join(cache_dir, f"kc_curves_{key}.npz")
+    if os.path.exists(cache_path):
+        try:
+            return np.load(cache_path)["curves"]
+        except Exception:
+            pass
+
     out = np.zeros((32, M), np.float32)
     cos = np.linspace(1e-3, 1.0, 64, dtype=np.float32)
 
+    # Only PLASTIC/DIELECTRIC/CONDUCTOR lanes ever read their KC column in
+    # the fused kernels (diffuse/light lanes mask the math off), so other
+    # types keep zero columns and skip the bake round-trips entirely.
+    needs_kc = {int(MaterialType.PLASTIC), int(MaterialType.DIELECTRIC),
+                int(MaterialType.CONDUCTOR)}
     for m in range(M):
+        if int(mtype[m]) not in needs_kc:
+            continue
         i = jnp.full(64, ior[m])
         r = jnp.full(64, rough[m])
         e_enter = np.asarray(dielectric_directional_albedo(
@@ -354,4 +392,14 @@ def bake_material_curves(luts, mats: dict) -> "np.ndarray":
             1.0 - f_avg_con * (1.0 - e_avg_con), 1e-6)
         out[28:31, m] = f_ms
         out[31, m] = e_avg_con
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache_path, curves=out)
+    except OSError:
+        pass
     return out
+
+
+# Bump to invalidate cached kc_curves_*.npz entries on layout changes.
+_CURVES_VERSION = 1

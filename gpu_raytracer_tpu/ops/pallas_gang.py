@@ -68,6 +68,16 @@ SHAPE = (8, 128)
 GANGS = 8
 IDLE = -2_000_000_000   # popped by a gang whose stack is empty
 
+# Leaf postponing (FLAT kernel): triangle rows found during node descent
+# are queued per gang and tested in dedicated tri-phase iterations, which
+# fire once any gang has QTRIG queued leaves (or is blocked on an empty
+# node stack). Node-only iterations then skip the unrolled LEAF_CAP
+# triangle loop (~60% of the per-iteration vector work) — the TPU analog
+# of the reference CWBVH kernel's Triangle Postponing
+# (/root/reference/Src/CUDA/Raytracing/BVH8.h:228-251).
+QTRIG = 8
+LEAFQ_DEPTH = QTRIG + 7  # node phases only run while every gang < QTRIG
+
 # Test hook: CPU-backend tests flip this to run through the interpreter.
 FORCE_INTERPRET = False
 
@@ -337,9 +347,233 @@ def _gang_kernel(any_hit, num_nodes, tab_ref,
         inst_out[0] = best_inst
 
 
-@partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False,
-                interpret=False):
+def _gang_flat_kernel(any_hit, num_nodes, count_iters, tab_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tmax_ref,
+                      t_out, tri_out, inst_out,
+                      stack_ref, leafq_ref):
+    """FLAT single-BLAS variant (merged static-scene tables,
+    buffers._pack_wide_merged): rays stay world-space for the whole
+    traversal (no RESTORE/instance phases), node stacks hold ONLY interior
+    refs, and leaf rows are postponed into batched tri-phase iterations
+    (see QTRIG above). Each iteration is a lax.cond between a node-only
+    phase (slab tests + pushes) and a tri-only phase (one queued leaf row
+    per gang through the unrolled Moller-Trumbore), so the expensive
+    triangle loop runs only when enough leaf work has accumulated to keep
+    all 8 gangs busy."""
+    N = num_nodes
+    L = tab_ref.shape[0] - num_nodes
+    SCRAP = STACK_DEPTH
+    QSCRAP = LEAFQ_DEPTH
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    ix, iy, iz = _inv1(dx), _inv1(dy), _inv1(dz)
+    t_max = tmax_ref[0]
+    dead = t_max <= 0.0  # padding / masked lanes
+
+    for g in range(GANGS):
+        stack_ref[g, 0] = jnp.int32(0)  # root node per gang
+
+    def cond(s):
+        sps, lqs = s[0], s[1]
+        total = sps[0] + lqs[0]
+        for g in range(1, GANGS):
+            total = total + sps[g] + lqs[g]
+        return total > 0
+
+    def body(s):
+        (sps, lqs, best_t, best_tri, occ, iters) = s
+
+        trig = jnp.int32(0)
+        for g in range(GANGS):
+            trig = trig + ((lqs[g] >= QTRIG)
+                           | ((sps[g] == 0) & (lqs[g] > 0))).astype(jnp.int32)
+
+        gang_col = jax.lax.broadcasted_iota(jnp.int32, (GANGS, 1), 0)
+
+        # ---- tri phase: each gang pops ONE queued leaf row and tests its
+        # (up to LEAF_CAP) triangles against the gang's 128 rays ----
+        def tri_fn(args):
+            sps, lqs, best_t, best_tri, occ = args
+            vs, nlqs = [], []
+            for g in range(GANGS):
+                has = lqs[g] > 0
+                qm = jnp.where(has, lqs[g] - 1, 0)
+                rid = jnp.where(has, leafq_ref[g, qm], jnp.int32(-1))
+                vs.append(rid)
+                nlqs.append(qm)
+            lqs = nlqs
+
+            rows = []
+            for g in range(GANGS):
+                idx = N + jnp.clip(vs[g], 0, L - 1)
+                rows.append(tab_ref[idx])
+            blk = jnp.stack(rows)                    # (8, 128)
+
+            act_v = jnp.zeros((GANGS, 1), jnp.int32)
+            for g in range(GANGS):
+                act_v = jnp.where(gang_col == g,
+                                  (vs[g] >= 0).astype(jnp.int32), act_v)
+            kind = _bc(blk[:, 0:1])
+            leaf_alive = (_bc(act_v) > 0) & ~dead
+
+            for j in range(LEAF_CAP):
+                base = 16 + j * 9
+                p0x = _bc(blk[:, base + 0:base + 1])
+                p0y = _bc(blk[:, base + 1:base + 2])
+                p0z = _bc(blk[:, base + 2:base + 3])
+                e1x = _bc(blk[:, base + 3:base + 4])
+                e1y = _bc(blk[:, base + 4:base + 5])
+                e1z = _bc(blk[:, base + 5:base + 6])
+                e2x = _bc(blk[:, base + 6:base + 7])
+                e2y = _bc(blk[:, base + 7:base + 8])
+                e2z = _bc(blk[:, base + 8:base + 9])
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / jnp.where(jnp.abs(a) < _DIV_EPS, _DIV_EPS, a)
+                sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                w = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                limit = t_max if any_hit else best_t
+                hit = (leaf_alive & (j < kind) & (jnp.abs(a) >= _DIV_EPS)
+                       & (u >= 0.0) & (u <= 1.0)
+                       & (w >= 0.0) & (u + w <= 1.0)
+                       & (t > _RAY_EPS) & (t < limit))
+                if any_hit:
+                    occ = jnp.maximum(occ, hit.astype(jnp.int32))
+                else:
+                    tid = _bc(blk[:, 1 + j:2 + j]).astype(jnp.int32)
+                    best_t = jnp.where(hit, t, best_t)
+                    best_tri = jnp.where(hit, tid, best_tri)
+
+            if any_hit:
+                done = jnp.min(occ + dead.astype(jnp.int32), axis=1,
+                               keepdims=True)  # (8, 1)
+                for g in range(GANGS):
+                    sps[g] = jnp.where(done[g, 0] > 0, 0, sps[g])
+                    lqs[g] = jnp.where(done[g, 0] > 0, 0, lqs[g])
+            return (sps, lqs, best_t, best_tri, occ)
+
+        # ---- node phase: slab-test each gang's 8 children; node children
+        # push onto the gang's stack, leaf children onto its leaf queue ----
+        def node_fn(args):
+            sps, lqs, best_t, best_tri, occ = args
+            vs, nsps = [], []
+            for g in range(GANGS):
+                has = sps[g] > 0
+                spm = jnp.where(has, sps[g] - 1, 0)
+                v = jnp.where(has, stack_ref[g, spm], jnp.int32(IDLE))
+                vs.append(v)
+                nsps.append(spm)
+            sps = nsps
+
+            rows = []
+            for g in range(GANGS):
+                rows.append(tab_ref[jnp.clip(vs[g], 0, N - 1)])
+            blk = jnp.stack(rows)                    # (8, 128)
+
+            node_v = jnp.zeros((GANGS, 1), jnp.int32)
+            for g in range(GANGS):
+                node_v = jnp.where(gang_col == g,
+                                   (vs[g] >= 0).astype(jnp.int32), node_v)
+            node_m = _bc(node_v) > 0
+
+            cull_t = jnp.where(occ > 0, 0.0, t_max) if any_hit else best_t
+
+            keys, refs = [], []
+            for c in range(8):
+                bx0 = _bc(blk[:, c * 6 + 0:c * 6 + 1])
+                by0 = _bc(blk[:, c * 6 + 1:c * 6 + 2])
+                bz0 = _bc(blk[:, c * 6 + 2:c * 6 + 3])
+                bx1 = _bc(blk[:, c * 6 + 3:c * 6 + 4])
+                by1 = _bc(blk[:, c * 6 + 4:c * 6 + 5])
+                bz1 = _bc(blk[:, c * 6 + 5:c * 6 + 6])
+                tx0 = (bx0 - ox) * ix
+                tx1 = (bx1 - ox) * ix
+                ty0 = (by0 - oy) * iy
+                ty1 = (by1 - oy) * iy
+                tz0 = (bz0 - oz) * iz
+                tz1 = (bz1 - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                hit = (tn <= tf) & (tf > 0.0) & (jnp.maximum(tn, 0.0) < cull_t)
+                tmin = jnp.min(jnp.where(hit & node_m & ~dead,
+                                         jnp.maximum(tn, 0.0), jnp.inf),
+                               axis=1, keepdims=True)  # (8, 1)
+                ref = blk[:, 48 + c:49 + c].astype(jnp.int32)       # (8, 1)
+                take = (ref != -1) & (tmin < jnp.inf)
+                keys.append(jnp.where(take, tmin, jnp.inf))
+                refs.append(jnp.where(take, ref, jnp.int32(-1)))
+
+            if not any_hit:
+                for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                             (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                             (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                             (5, 6)):
+                    swap = keys[a] > keys[b]
+                    ka = jnp.where(swap, keys[b], keys[a])
+                    kb = jnp.where(swap, keys[a], keys[b])
+                    ra = jnp.where(swap, refs[b], refs[a])
+                    rb = jnp.where(swap, refs[a], refs[b])
+                    keys[a], keys[b] = ka, kb
+                    refs[a], refs[b] = ra, rb
+
+            for c in range(7, -1, -1):  # far -> near; near pops first
+                for g in range(GANGS):
+                    r = refs[c][g, 0]
+                    take_n = (r >= 0) & (sps[g] < STACK_DEPTH)
+                    stack_ref[g, jnp.where(take_n, sps[g], SCRAP)] = r
+                    sps[g] = sps[g] + take_n.astype(jnp.int32)
+                    # LIFO queue: pushing far->near leaves the nearest leaf
+                    # on top, so the next tri phase tightens best_t fastest.
+                    take_l = (r <= -2) & (lqs[g] < LEAFQ_DEPTH)
+                    leafq_ref[g, jnp.where(take_l, lqs[g], QSCRAP)] = -r - 2
+                    lqs[g] = lqs[g] + take_l.astype(jnp.int32)
+            return (sps, lqs, best_t, best_tri, occ)
+
+        sps, lqs, best_t, best_tri, occ = jax.lax.cond(
+            trig > 0, tri_fn, node_fn, (sps, lqs, best_t, best_tri, occ))
+        # iters packs (node_iters, tri_iters) as node*2^16 + tri.
+        iters = iters + jnp.where(trig > 0, 1, 1 << 16)
+        return (sps, lqs, best_t, best_tri, occ, iters)
+
+    init = ([jnp.int32(1)] * GANGS, [jnp.int32(0)] * GANGS,
+            t_max, jnp.full(SHAPE, -1, jnp.int32),
+            jnp.zeros(SHAPE, jnp.int32), jnp.int32(0))
+    out = jax.lax.while_loop(cond, body, init)
+    (_, _, best_t, best_tri, occ, iters) = out
+
+    if any_hit:
+        hit_mask = occ > 0
+        t_out[0] = jnp.where(hit_mask, 0.0, jnp.inf)
+        tri_out[0] = jnp.where(hit_mask, 0, -1)
+        inst_out[0] = jnp.where(hit_mask, 0, -1)
+    else:
+        t_out[0] = jnp.where(best_tri >= 0, best_t, jnp.inf)
+        tri_out[0] = best_tri
+        if count_iters:
+            # Diagnostic: per-tile packed iteration counts instead of inst
+            # (flat tables carry no instance ids anyway).
+            inst_out[0] = jnp.full(SHAPE, iters, jnp.int32)
+        else:
+            inst_out[0] = jnp.full(SHAPE, -1, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("any_hit", "flat", "count_iters",
+                                   "interpret"))
+def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False, flat=False,
+                count_iters=False, interpret=False):
     interpret = interpret or FORCE_INTERPRET
     R = ray_o.shape[0]
     pad = (-R) % BLOCK
@@ -370,15 +604,23 @@ def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False,
     # crashes Mosaic's layout pass on this toolchain). XLA CSEs the
     # concatenation across calls with the same buffers.
     table = jnp.concatenate([nodes, rows], axis=0)
+    if flat:
+        kernel = partial(_gang_flat_kernel, any_hit, nodes.shape[0],
+                         count_iters)
+        scratch = [pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
+                   pltpu.SMEM((GANGS, LEAFQ_DEPTH + 1), jnp.int32)]
+    else:
+        kernel = partial(_gang_kernel, any_hit, nodes.shape[0])
+        scratch = [pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32)]
     t, tri, inst = pl.pallas_call(
-        partial(_gang_kernel, any_hit, nodes.shape[0]),
+        kernel,
         grid=(G,),
         in_specs=[table_spec(),
                   tile_spec(), tile_spec(), tile_spec(),
                   tile_spec(), tile_spec(), tile_spec(), tile_spec()],
         out_specs=[tile_spec()] * 3,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(table_bytes + 8 * 1024 * 1024,
                                  120 * 1024 * 1024)),
@@ -397,14 +639,20 @@ def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False,
                         inst=inst.reshape(n)[:R], u=zero, v=zero)
 
 
-def trace_closest_gang(nodes, rows, ray_o, ray_d, t_max, interpret=False):
-    """Closest-hit gang traversal (u/v left zero — recompute in shade)."""
+def trace_closest_gang(nodes, rows, ray_o, ray_d, t_max, flat=False,
+                       interpret=False):
+    """Closest-hit gang traversal (u/v left zero — recompute in shade).
+
+    `flat=True` selects the leaf-postponing single-BLAS kernel for merged
+    static-scene tables (no instance rows; pathtracer passes
+    `wide_prim_map is not None`)."""
     return _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False,
-                       interpret=interpret)
+                       flat=flat, interpret=interpret)
 
 
-def trace_any_gang(nodes, rows, ray_o, ray_d, t_max, interpret=False):
+def trace_any_gang(nodes, rows, ray_o, ray_d, t_max, flat=False,
+                   interpret=False):
     """Any-hit gang traversal -> (R,) bool occlusion."""
     hit = _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=True,
-                      interpret=interpret)
+                      flat=flat, interpret=interpret)
     return hit.tri >= 0

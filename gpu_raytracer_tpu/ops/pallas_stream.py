@@ -53,12 +53,16 @@ SHAPE = (8, 128)
 GANGS = 8
 IDLE = -2_000_000_000
 # Per-lane pending-portal list length. With production 2 MiB pages a
-# portal's AABB is large, so a ray's frustum crosses few portals; lanes
-# that still record more than K report through the `ovf` output (the
-# bench stream probe asserts it stays zero) — geometry in dropped portals
-# is missed, so callers sizing smaller pages must raise K accordingly.
+# portal's AABB is large, so a ray's frustum crosses few portals. Lanes
+# that record more than K in one pass are LOSS-FREE handled by the outer
+# re-entry loop in _trace_stream: the resident pass replays (same rays,
+# same t_max per gang -> identical deterministic enumeration) with the
+# recording window advanced by K until no lane overflows, so no portal is
+# ever silently dropped (matches the exactness of the reference's
+# DRAM-streamed CWBVH, BVH8.h:19-27).
 K_PORTALS = 16
-MAX_ROUNDS = 64
+MAX_ROUNDS = 1024   # inner page-round safety cap (>= 1 slot clears/round)
+MAX_PASSES = 64     # outer re-entry cap: 64 * K = 1024 portals per lane
 
 # Test hook: CPU-backend tests flip this to run through the interpreter.
 FORCE_INTERPRET = False
@@ -219,11 +223,12 @@ def _pop(sps, stack_ref):
     return vs, nsps
 
 
-def _resident_kernel(any_hit, tab_ref,
+def _resident_kernel(any_hit, skip_ref, tab_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tmax_ref,
                      t_out, tri_out, pid_out, pt_out, ovf_out,
                      stack_ref):
+    skip = skip_ref[0]
     wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
     wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
     t_max = tmax_ref[0]
@@ -255,13 +260,16 @@ def _resident_kernel(any_hit, tab_ref,
                 for (ref, is_portal, hit, tn0) in child_data:
                     pid_col = (-ref - 2) - PORTAL_BASE          # (8, 1)
                     rec = hit & (_bc(is_portal.astype(jnp.int32)) > 0)
+                    # Record only window [skip, skip + K): re-entry passes
+                    # advance `skip` to pick up where the last pass left
+                    # off (the enumeration replays deterministically).
                     for k in range(K_PORTALS):
-                        sel = rec & (cnt == k)
+                        sel = rec & (cnt - skip == k)
                         pid_out[0, k] = jnp.where(
                             sel, _bc(pid_col), pid_out[0, k])
                         pt_out[0, k] = jnp.where(sel, tn0, pt_out[0, k])
                     ovf_out[0] = ovf_out[0] + (
-                        rec & (cnt >= K_PORTALS)).astype(jnp.int32)
+                        rec & (cnt - skip >= K_PORTALS)).astype(jnp.int32)
                     cnt = cnt + rec.astype(jnp.int32)
                 return cnt
 
@@ -351,9 +359,11 @@ def _tile(x, G):
     return x.reshape(G, 8, 128)
 
 
-def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret):
+def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret, skip=None):
     R = ray_o.shape[0]
     G = R // BLOCK
+    if skip is None:
+        skip = jnp.zeros((1,), jnp.int32)
 
     tile_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -369,7 +379,8 @@ def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret):
     t, tri, pids, pts, ovf = pl.pallas_call(
         partial(_resident_kernel, any_hit),
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [tile_spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)] + [tile_spec] * 7,
         out_specs=[tile_spec, tile_spec, klist_spec, klist_spec, tile_spec],
         out_shape=out_shapes,
         scratch_shapes=[pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32)],
@@ -377,7 +388,7 @@ def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret):
             vmem_limit_bytes=min(resident.shape[0] * 512 + 16 * 1024 * 1024,
                                  120 * 1024 * 1024)),
         interpret=interpret,
-    )(resident,
+    )(skip, resident,
       _tile(ray_o[:, 0], G), _tile(ray_o[:, 1], G), _tile(ray_o[:, 2], G),
       _tile(ray_d[:, 0], G), _tile(ray_d[:, 1], G), _tile(ray_d[:, 2], G),
       _tile(t_max, G))
@@ -431,11 +442,7 @@ def _trace_stream(resident, pages, portal_page, portal_root,
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
     R = R0 + pad
 
-    t1, tri1, pids, pts, ovf = _phase1(resident, ray_o, ray_d, t_max,
-                                       any_hit, interpret)
-    best_t = t1
-    best_tri = tri1
-    occluded = tri1 >= 0 if any_hit else jnp.zeros(R, bool)
+    P = portal_page.shape[0]
 
     def round_cond(s):
         best_t, best_tri, occluded, pids, pts, r = s
@@ -444,8 +451,6 @@ def _trace_stream(resident, pages, portal_page, portal_root,
         if any_hit:
             pending = pending & ~occluded[:, None]
         return jnp.any(pending) & (r < MAX_ROUNDS)
-
-    P = portal_page.shape[0]
 
     def round_body(s):
         best_t, best_tri, occluded, pids, pts, r = s
@@ -502,15 +507,55 @@ def _trace_stream(resident, pages, portal_page, portal_root,
         pids = jnp.where(clear, -1, pids)
         return best_t, best_tri, occluded, pids, pts, r + 1
 
-    best_t, best_tri, occluded, _, _, _ = jax.lax.while_loop(
-        round_cond, round_body,
-        (best_t, best_tri, occluded, pids, pts, jnp.int32(0)))
+    # ---- outer LOSS-FREE pass loop ----
+    # Pass p records each lane's portals [p*K, (p+1)*K) (the resident
+    # enumeration replays deterministically because every gang with a
+    # pending lane re-traces with its ORIGINAL rays and t_max), then the
+    # inner round loop drains them against the running global best.
+    # A lane stays pending while its pass overflowed the window; portal
+    # counts are finite, so every pass strictly advances.
+    def pass_cond(s):
+        best_t, best_tri, occluded, pending, p = s
+        return jnp.any(pending) & (p < MAX_PASSES)
+
+    def pass_body(s):
+        best_t, best_tri, occluded, pending, p = s
+        # Gang granularity: all 128 lanes of any gang holding a pending
+        # lane replay with their original t_max so the gang's traversal
+        # (and with it each lane's portal enumeration order) is identical
+        # across passes. Non-pending lanes just re-confirm known hits.
+        gang_on = jnp.any(pending.reshape(-1, 128), axis=1, keepdims=True)
+        tmax_pass = jnp.where(gang_on, t_max.reshape(-1, 128),
+                              0.0).reshape(R)
+        t1, tri1, pids, pts, ovf = _phase1(
+            resident, ray_o, ray_d, tmax_pass, any_hit, interpret,
+            skip=(p * K_PORTALS).reshape(1))
+        if any_hit:
+            occluded = occluded | (tri1 >= 0)
+        else:
+            better = (tri1 >= 0) & (t1 < best_t)
+            best_t = jnp.where(better, t1, best_t)
+            best_tri = jnp.where(better, tri1, best_tri)
+        best_t, best_tri, occluded, _, _, _ = jax.lax.while_loop(
+            round_cond, round_body,
+            (best_t, best_tri, occluded, pids, pts, jnp.int32(0)))
+        pending = pending & (ovf > 0)
+        if any_hit:
+            pending = pending & ~occluded
+        return best_t, best_tri, occluded, pending, p + 1
+
+    best_t, best_tri, occluded, pending, _ = jax.lax.while_loop(
+        pass_cond, pass_body,
+        (t_max, jnp.full(R, -1, jnp.int32), jnp.zeros(R, bool),
+         t_max > 0.0, jnp.int32(0)))
+    # `pending` is all-False unless a lane exceeded MAX_PASSES * K portals.
+    residual = pending.astype(jnp.int32)
 
     if any_hit:
         hit = occluded[:R0]
         return (jnp.where(hit, 0.0, jnp.inf),
-                jnp.where(hit, 0, -1), ovf[:R0])
-    return best_t[:R0], best_tri[:R0], ovf[:R0]
+                jnp.where(hit, 0, -1), residual[:R0])
+    return best_t[:R0], best_tri[:R0], residual[:R0]
 
 
 def trace_closest_stream(tables: dict, ray_o, ray_d, t_max, interpret=False):

@@ -76,7 +76,9 @@ def pack_tables(nodes, tris, instances):
     tri_mat = np.zeros((16, t), np.float32)
     tri_mat[0:9] = np.asarray(tris["geo_T"])
 
-    return (jnp.asarray(node_mat), jnp.asarray(inst_mat), jnp.asarray(tri_mat))
+    # Numpy on purpose: build_scene_buffers uploads the whole host pytree
+    # once at the end (np.asarray on a device buffer is a slow readback).
+    return (node_mat, inst_mat, tri_mat)
 
 
 def _inv1(c):

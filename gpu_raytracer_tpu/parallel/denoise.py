@@ -33,6 +33,8 @@ def shard_denoised_step(mesh: Mesh, config, width: int, height: int,
                         seed: int = 0, has_lights: bool = True,
                         has_textures: bool = False, has_media: bool = False,
                         use_pallas: bool = False, use_wide: bool = False,
+                        use_gather_shade: bool = False,
+                        use_stream: bool = False,
                         axis_name: str = "pixels", mat_types=None):
     """Returns jitted
     fn(buffers, camera, pixel_index, sample_index, history, vp_prev,
@@ -58,6 +60,8 @@ def shard_denoised_step(mesh: Mesh, config, width: int, height: int,
                            config, width, seed, has_lights,
                            has_textures=has_textures, has_media=has_media,
                            use_pallas=use_pallas, use_wide=use_wide,
+                           use_gather_shade=use_gather_shade,
+                           use_stream=use_stream,
                            with_aovs=True, mat_types=mat_types)
         return {k: aovs[k] for k in aov_keys}
 

@@ -40,6 +40,7 @@ def shard_render_wave(mesh: Mesh, config, width: int, seed: int = 0,
                       mat_types=None, has_textures: bool = False,
                       has_media: bool = False, use_pallas: bool = False,
                       use_wide: bool = False, use_pallas_shade: bool = False,
+                      use_gather_shade: bool = False, use_stream: bool = False,
                       with_aovs: bool = False):
     """Bind a pixel-sharded `render_wave` over `mesh`. Returns
     fn(buffers, camera, pixel_index, sample_index) -> (R, 3) radiance
@@ -58,6 +59,8 @@ def shard_render_wave(mesh: Mesh, config, width: int, seed: int = 0,
                            has_textures=has_textures, has_media=has_media,
                            use_pallas=use_pallas, use_wide=use_wide,
                            use_pallas_shade=use_pallas_shade,
+                           use_gather_shade=use_gather_shade,
+                           use_stream=use_stream,
                            with_aovs=with_aovs, mat_types=mat_types)
 
     out_spec = P(axis_name)

@@ -16,11 +16,14 @@ from gpu_raytracer_tpu.ops.traverse import trace_any_tlas, trace_closest_tlas
 from tests.test_pallas_wide import cornell_wave, instancing_wave  # noqa: F401
 
 
-def _check_matches(bufs, o, d, tmax, tri_match=0.995):
+def _check_matches(bufs, o, d, tmax, tri_match=0.995, flat=False):
     nodes, tris, insts = bufs["nodes"], bufs["tris"], bufs["instances"]
     ref = trace_closest_tlas(nodes, tris, insts, o, d, tmax)
     assert bufs.get("wide") is not None
-    out = pg.trace_closest_gang(*bufs["wide"], o, d, tmax, interpret=True)
+    if flat:
+        assert bufs.get("wide_prim_map") is not None
+    out = pg.trace_closest_gang(*bufs["wide"], o, d, tmax, flat=flat,
+                                interpret=True)
     pm = bufs.get("wide_prim_map")
     if pm is not None:
         code = pm[jnp.maximum(out.tri, 0)]
@@ -63,6 +66,33 @@ def test_finite_tmax_respected(cornell_wave):  # noqa: F811
     out = pg.trace_closest_gang(*bufs["wide"], o, d, short, interpret=True)
     assert np.all(np.asarray(out.tri) == -1)
     assert np.all(np.isinf(np.asarray(out.t)))
+
+
+def test_flat_matches_xla_cornell(cornell_wave):  # noqa: F811
+    """Leaf-postponing FLAT kernel (merged tables, no instance rows)."""
+    _check_matches(*cornell_wave, flat=True)
+
+
+def test_flat_incoherent_wave_matches(cornell_wave):  # noqa: F811
+    bufs, _, _, _ = cornell_wave
+    rng = np.random.default_rng(11)
+    R = 2048
+    o = jnp.asarray(rng.uniform(-1.0, 1.0, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((R,), np.inf, jnp.float32)
+    _check_matches(bufs, o, d, tmax, tri_match=0.98, flat=True)
+
+
+def test_flat_any_hit_matches(cornell_wave):  # noqa: F811
+    bufs, o, d, _ = cornell_wave
+    nodes, tris, insts = bufs["nodes"], bufs["tris"], bufs["instances"]
+    tmax = jnp.full(o.shape[:1], 1.5, jnp.float32)
+    ref = trace_any_tlas(nodes, tris, insts, o, d, tmax)
+    out = pg.trace_any_gang(*bufs["wide"], o, d, tmax, flat=True,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_incoherent_wave_matches(cornell_wave):  # noqa: F811

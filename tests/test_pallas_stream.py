@@ -120,6 +120,57 @@ def test_finite_tmax_respected(packed):
     assert np.all(np.asarray(out.tri) == -1)
 
 
+def test_portal_overflow_is_loss_free():
+    """Adversarial: a dense soup on 24-row pages makes long diagonal rays
+    cross far more than K_PORTALS pages. Pass 0 must overflow (asserting
+    the re-entry machinery actually engages) and the final hits must still
+    match the resident kernel exactly — no silently dropped geometry
+    (reference exactness bar: BVH8.h:19-27)."""
+    world = _soup(4000, seed=21)
+    bvh = build_bvh2(TriangleData(world), max_leaf_size=wide_mod.LEAF_CAP)
+    wideb = wide_mod.collapse_wide(bvh)
+    geo = np.concatenate([world[:, 0], world[:, 1] - world[:, 0],
+                          world[:, 2] - world[:, 0]],
+                         axis=-1).astype(np.float32)
+    leaf = geo[bvh.indices]
+    resident = wide_mod.pack_wide_merged(wideb, bvh.indices, leaf)
+    paged = stream_mod.pack_wide_stream(wideb, bvh.indices, leaf,
+                                        page_rows=24)
+    assert paged is not None
+    paged = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in paged.items()}
+
+    # Long diagonals through the whole soup from outside, far t_max.
+    R = 1024
+    rng = np.random.default_rng(4)
+    o = jnp.asarray(rng.uniform(-1.6, -1.4, (R, 3)).astype(np.float32))
+    d = rng.uniform(0.3, 1.0, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((R,), np.inf, jnp.float32)
+
+    # Pass 0 alone must overflow for some lane, or this test is vacuous.
+    _, _, _, _, ovf0 = ps._phase1(paged["resident"], o, d, tmax,
+                                  False, True)
+    assert int((np.asarray(ovf0) > 0).sum()) > 0, \
+        "adversarial setup no longer overflows K_PORTALS; tighten it"
+
+    ref = pg.trace_closest_gang(jnp.asarray(resident["nodes"]),
+                                jnp.asarray(resident["rows"]), o, d, tmax,
+                                interpret=True)
+    t, tri, residual = ps._trace_stream(
+        paged["resident"], paged["pages"], paged["portal_page"],
+        paged["portal_root"], o, d, tmax, any_hit=False, interpret=True)
+    assert int(np.asarray(residual).sum()) == 0
+    rtri = np.asarray(ref.tri)
+    wtri = np.asarray(tri)
+    np.testing.assert_array_equal(rtri >= 0, wtri >= 0)
+    both = rtri >= 0
+    np.testing.assert_allclose(np.asarray(t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5)
+    assert np.mean(rtri[both] == wtri[both]) > 0.995
+
+
 def test_render_wave_on_stream_path(monkeypatch):
     """End-to-end: force a ~1000-tri scene's merged wide tables onto the
     paged streaming path (tiny VMEM budget + tiny pages) and check the

@@ -54,6 +54,7 @@ kw = dict(has_textures=len(scene.textures) > 0,
           has_media=len(scene.mediums) > 0,
           use_pallas=pt.use_pallas,
           use_wide=pt.use_wide and not pt.use_pallas,
+          use_gather_shade=pt.use_gather_shade,
           mat_types=pt.mat_types)
 
 
@@ -106,4 +107,5 @@ t("_denoised_frame fused", lambda: _denoised_frame(
     pt.buffers, camera, idx, 1, history, vp_prev, taa_prev,
     jnp.asarray(False), gpu, W, H, 0, scene.has_lights,
     len(scene.textures) > 0, len(scene.mediums) > 0,
-    pt.use_pallas, pt.use_wide and not pt.use_pallas, pt.mat_types))
+    pt.use_pallas, pt.use_wide and not pt.use_pallas, pt.mat_types,
+    use_gather_shade=pt.use_gather_shade))
