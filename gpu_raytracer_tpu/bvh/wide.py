@@ -46,7 +46,7 @@ from gpu_raytracer_tpu.bvh.types import BVH2
 from gpu_raytracer_tpu.core.aabb import half_area
 
 WIDTH = 8
-LEAF_CAP = 8  # keep in sync with ops/pallas_wide.LEAF_CAP (kernel unroll)
+LEAF_CAP = 12  # keep in sync with ops/pallas_wide.LEAF_CAP (kernel unroll)
 #                        row capacity allows up to 12 (16 + 12*9 = 124 <= 128)
 ROW = 128
 

@@ -555,7 +555,11 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
         prim_tri[base_p:base_p + c] = np.arange(b, b + c, dtype=np.int32)
         base_p += c
 
-    bvh = build_blas_cached(TriangleData(world),
+    # sah_cost_node=10 (vs the reference's 4): a gang-kernel node phase
+    # costs ~4.5x a whole-leaf-row tri phase on TPU (exp_gang_ablate), so
+    # the collapse should buy fat leaves — Sponza: 14.3k -> 9.5k interior
+    # nodes, bounce waves ~8% faster (tools/exp_leafcap.py, round 4).
+    bvh = build_blas_cached(TriangleData(world), sah_cost_node=10.0,
                             max_leaf_size=pallas_wide.LEAF_CAP)
     wideb = wide_mod.collapse_wide(bvh, width)
     world_geo = np.concatenate(

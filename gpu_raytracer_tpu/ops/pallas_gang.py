@@ -347,7 +347,7 @@ def _gang_kernel(any_hit, num_nodes, tab_ref,
         inst_out[0] = best_inst
 
 
-def _gang_flat_kernel(any_hit, num_nodes, count_iters, tab_ref,
+def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref,
                       t_out, tri_out, inst_out,
@@ -360,7 +360,20 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, tab_ref,
     phase (slab tests + pushes) and a tri-only phase (one queued leaf row
     per gang through the unrolled Moller-Trumbore), so the expensive
     triangle loop runs only when enough leaf work has accumulated to keep
-    all 8 gangs busy."""
+    all 8 gangs busy.
+
+    Closest-hit pushes use a CONTIGUOUS BLOCK store (round-4 redesign):
+    the per-iteration cost of this kernel is scalar-core bound — the
+    conditional push loop's 64 vreg->scalar extracts plus 128
+    select-indexed SMEM stores price at ~1.0 us of the ~1.35 us node
+    phase (tools/exp_gang_ablate.py). The single sorting network now
+    orders children [leaf far->near | node far->near | invalid] via
+    class-offset keys (leaf keys shifted by -16 in units of 1/8th scene
+    diameter, inv_diag_ref), so each destination's valid entries form one
+    contiguous run: all 8 refs store UNCONDITIONALLY at base+j (leafq)
+    and base+max(j-kl, 0) (stack). Garbage writes land at or above the
+    post-push top — overwritten by later pushes before any pop can read
+    them — and only the two counters need per-gang scalar arithmetic."""
     N = num_nodes
     L = tab_ref.shape[0] - num_nodes
     SCRAP = STACK_DEPTH
@@ -486,6 +499,7 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, tab_ref,
             node_m = _bc(node_v) > 0
 
             cull_t = jnp.where(occ > 0, 0.0, t_max) if any_hit else best_t
+            inv_diag = inv_diag_ref[0]
 
             keys, refs = [], []
             for c in range(8):
@@ -513,33 +527,74 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, tab_ref,
                                axis=1, keepdims=True)  # (8, 1)
                 ref = blk[:, 48 + c:49 + c].astype(jnp.int32)       # (8, 1)
                 take = (ref != -1) & (tmin < jnp.inf)
-                keys.append(jnp.where(take, tmin, jnp.inf))
+                if any_hit:
+                    keys.append(jnp.where(take, tmin, jnp.inf))
+                else:
+                    # Class-grouped ascending key: leaves in [-24, -16),
+                    # nodes in [-8, 0], invalid +inf — one sort yields
+                    # [leaf far->near | node far->near | invalid] (far
+                    # first: LIFO tops pop nearest). Distances are in
+                    # 1/8th-diameter units so the -16 class offset costs
+                    # < 2^-20 diameters of ordering precision.
+                    tn8 = -jnp.minimum(tmin * inv_diag, 8.0)
+                    keys.append(jnp.where(
+                        take, tn8 + jnp.where(ref <= -2, -16.0, 0.0),
+                        jnp.inf))
                 refs.append(jnp.where(take, ref, jnp.int32(-1)))
 
-            if not any_hit:
-                for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                             (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
-                             (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
-                             (5, 6)):
-                    swap = keys[a] > keys[b]
-                    ka = jnp.where(swap, keys[b], keys[a])
-                    kb = jnp.where(swap, keys[a], keys[b])
-                    ra = jnp.where(swap, refs[b], refs[a])
-                    rb = jnp.where(swap, refs[a], refs[b])
-                    keys[a], keys[b] = ka, kb
-                    refs[a], refs[b] = ra, rb
+            if any_hit:
+                # Occlusion pass: order is irrelevant, keep the compact
+                # conditional pushes (dead gangs retire whole iterations).
+                for c in range(7, -1, -1):
+                    for g in range(GANGS):
+                        r = refs[c][g, 0]
+                        take_n = (r >= 0) & (sps[g] < STACK_DEPTH)
+                        stack_ref[g, jnp.where(take_n, sps[g], SCRAP)] = r
+                        sps[g] = sps[g] + take_n.astype(jnp.int32)
+                        take_l = (r <= -2) & (lqs[g] < LEAFQ_DEPTH)
+                        leafq_ref[g, jnp.where(take_l, lqs[g],
+                                               QSCRAP)] = -r - 2
+                        lqs[g] = lqs[g] + take_l.astype(jnp.int32)
+                return (sps, lqs, best_t, best_tri, occ)
 
-            for c in range(7, -1, -1):  # far -> near; near pops first
-                for g in range(GANGS):
-                    r = refs[c][g, 0]
-                    take_n = (r >= 0) & (sps[g] < STACK_DEPTH)
-                    stack_ref[g, jnp.where(take_n, sps[g], SCRAP)] = r
-                    sps[g] = sps[g] + take_n.astype(jnp.int32)
-                    # LIFO queue: pushing far->near leaves the nearest leaf
-                    # on top, so the next tri phase tightens best_t fastest.
-                    take_l = (r <= -2) & (lqs[g] < LEAFQ_DEPTH)
-                    leafq_ref[g, jnp.where(take_l, lqs[g], QSCRAP)] = -r - 2
-                    lqs[g] = lqs[g] + take_l.astype(jnp.int32)
+            for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                         (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
+                         (2, 6), (3, 7), (2, 4), (3, 5), (1, 2), (3, 4),
+                         (5, 6)):
+                swap = keys[a] > keys[b]
+                ka = jnp.where(swap, keys[b], keys[a])
+                kb = jnp.where(swap, keys[a], keys[b])
+                ra = jnp.where(swap, refs[b], refs[a])
+                rb = jnp.where(swap, refs[a], refs[b])
+                keys[a], keys[b] = ka, kb
+                refs[a], refs[b] = ra, rb
+
+            # Contiguous block store (see docstring). Valid leafq entries
+            # are sorted slots [0, kl); valid stack entries [kl, kl+kn).
+            kl_v = (refs[0] <= -2).astype(jnp.int32)
+            kn_v = (refs[0] >= 0).astype(jnp.int32)
+            for c in range(1, 8):
+                kl_v = kl_v + (refs[c] <= -2).astype(jnp.int32)
+                kn_v = kn_v + (refs[c] >= 0).astype(jnp.int32)
+            cnt_pk = kl_v + kn_v * 16
+            for g in range(GANGS):
+                pk = cnt_pk[g, 0]
+                kl = pk & 15
+                kn = jnp.minimum(pk >> 4, STACK_DEPTH - sps[g])
+                s0 = sps[g]
+                l0 = lqs[g]
+                for j in range(8):
+                    r = refs[j][g, 0]
+                    # Ascending j: leaf slots j < kl write garbage at
+                    # stack[s0] first, node slot j == kl overwrites it;
+                    # invalid slots land above the new top.
+                    leafq_ref[g, jnp.minimum(l0 + j, QSCRAP)] = -r - 2
+                    stack_ref[g, jnp.minimum(
+                        s0 + jnp.maximum(j - kl, 0), SCRAP)] = r
+                sps[g] = s0 + kn
+                # LEAFQ_DEPTH = QTRIG + 7 makes overflow impossible: node
+                # phases only run while every gang holds < QTRIG leaves.
+                lqs[g] = l0 + kl
             return (sps, lqs, best_t, best_tri, occ)
 
         sps, lqs, best_t, best_tri, occ = jax.lax.cond(
@@ -609,15 +664,31 @@ def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False, flat=False,
                          count_iters)
         scratch = [pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
                    pltpu.SMEM((GANGS, LEAFQ_DEPTH + 1), jnp.int32)]
+        # 1/diameter of the root's child union: the kernel's class-grouped
+        # sort keys measure distance in 1/8th-diameter units (see
+        # _gang_flat_kernel docstring). Tiny XLA reduction, CSEd per table.
+        root = nodes[0]
+        cb = root[:48].reshape(8, 6)
+        cmask = (root[48:56] != -1.0)[:, None]
+        lo = jnp.min(jnp.where(cmask, cb[:, 0:3], jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(cmask, cb[:, 3:6], -jnp.inf), axis=0)
+        diag = jnp.max(hi - lo)
+        inv_diag = jnp.where(jnp.isfinite(diag) & (diag > 1e-20),
+                             1.0 / diag, 1.0).reshape(1)
+        extra_in = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        extra_args = [inv_diag]
     else:
         kernel = partial(_gang_kernel, any_hit, nodes.shape[0])
         scratch = [pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32)]
+        extra_in = []
+        extra_args = []
     t, tri, inst = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[table_spec(),
-                  tile_spec(), tile_spec(), tile_spec(),
-                  tile_spec(), tile_spec(), tile_spec(), tile_spec()],
+        in_specs=extra_in + [table_spec(),
+                             tile_spec(), tile_spec(), tile_spec(),
+                             tile_spec(), tile_spec(), tile_spec(),
+                             tile_spec()],
         out_specs=[tile_spec()] * 3,
         out_shape=out_shapes,
         scratch_shapes=scratch,
@@ -625,7 +696,7 @@ def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False, flat=False,
             vmem_limit_bytes=min(table_bytes + 8 * 1024 * 1024,
                                  120 * 1024 * 1024)),
         interpret=interpret,
-    )(table,
+    )(*extra_args, table,
       tile(ray_o[:, 0]), tile(ray_o[:, 1]), tile(ray_o[:, 2]),
       tile(ray_d[:, 0]), tile(ray_d[:, 1]), tile(ray_d[:, 2]),
       tile(t_max))

@@ -47,11 +47,15 @@ BLOCK = 1024            # rays per tile, shaped (8, 128)
 STACK_DEPTH = 160       # wide depth ~8 levels x 7 pushes + TLAS + headroom
 RESTORE = -1            # stack marker: restore world-space ray
 SHAPE = (8, 128)
-# Max tris per leaf row; the tri loop unrolls this. The merged static path
-# builds its BVH at this leaf size (measured on Sponza bounce rays: cap 8
-# cuts pops ~16% vs 4; 12 is flat) — per-mesh BLAS paths build at
-# LEAF_SIZE=4 and just mask off the extra unrolled tests.
-LEAF_CAP = 8
+# Max tris per leaf row; the tri loop unrolls this (row capacity limit:
+# 16 + 12*9 = 124 <= 128). The merged static path builds its BVH at this
+# leaf size with a raised SAH node cost (see buffers._pack_wide_merged):
+# a gang-kernel NODE phase costs ~1.35 us vs ~0.3 us for a whole leaf-row
+# TRI phase (tools/exp_gang_ablate.py, round 4), so fat leaves beat deep
+# trees — Sponza cap12/cn10 traces bounce waves ~8% faster than cap8/cn4
+# with 33% fewer interior nodes (tools/exp_leafcap.py). Per-mesh BLAS
+# paths build at LEAF_SIZE=4 and just mask off the extra unrolled tests.
+LEAF_CAP = 12
 
 _DIV_EPS = 1e-12
 _RAY_EPS = 1e-4

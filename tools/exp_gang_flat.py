@@ -27,7 +27,7 @@ def log(*a):
     print(f"[{time.time()-T0:7.1f}s]", *a, flush=True)
 
 
-CACHE = "/tmp/sponza_wave.npz"
+CACHE = "/tmp/sponza_wave_c12.npz"  # cap12/cn10 tables (round-4 defaults)
 if os.path.exists(CACHE):
     z = np.load(CACHE)
     data = {k: z[k] for k in z.files}
@@ -99,15 +99,29 @@ jax.block_until_ready(rows)
 log("tables on device", nodes.shape, rows.shape)
 
 
-def t(name, fn, *args, n=3):
+def t(name, fn, *args, n=3, perturb=None):
+    """Times with a UNIQUE ray-origin perturbation per call: the axon
+    backend can serve same-input executions from cache (repeat call with
+    identical buffers returns in ~0.1 ms; a fresh input costs the real
+    time). `perturb` is the index of the ray-origin arg (auto: first
+    (R, 3) array). Never perturb node tables — they carry float-encoded
+    int refs."""
     t0 = time.time()
     out = fn(*args)
     jax.block_until_ready(out)
     c = time.time() - t0
+    if perturb is None:
+        perturb = next(i for i, a in enumerate(args)
+                       if hasattr(a, "ndim") and a.ndim == 2
+                       and a.shape[-1] == 3)
+    vs = [jax.block_until_ready(args[perturb] + (k + 1) * 1e-6)
+          for k in range(n)]
     t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for k in range(n):
+        a = list(args)
+        a[perturb] = vs[k]
+        out = fn(*a)
+        jax.block_until_ready(out)
     log(f"{name:36s} {(time.time()-t0)/n*1000:8.1f} ms  (first {c:.1f}s)")
     return out
 
