@@ -573,8 +573,35 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             new_alive = out["alive"]
             ray_o = jnp.where(new_alive[:, None], out["ray_o"], ray_o)
             ray_d = jnp.where(new_alive[:, None], out["ray_d"], ray_d)
+            prev_nee_out = out["prev_allow_nee"]
+            last_pdf_out = out["last_pdf"]
+            if has_media:
+                # Mirror the XLA body's media merge (below at the loop
+                # tail): dielectric transmissions hand the medium id over,
+                # and lanes that scattered in the medium (dead through the
+                # kernel) rejoin with their HG continuation ray. The
+                # kernel's russian roulette rescaled EVERY lane's
+                # throughput (scattered included, matching the reference's
+                # russian_roulette() on scattered rays, Pathtracer.cu:287);
+                # the matching kill for scattered lanes happens here since
+                # they carry active=False through the kernel.
+                if config.enable_russian_roulette:
+                    rr_basis = (throughput * rr_alb if demodulate
+                                else throughput)
+                    survival = jnp.clip(jnp.max(rr_basis, axis=-1),
+                                        0.0, 1.0)
+                    scatters = scatters & (u_rr <= survival)
+                mat_medium = mrow[:, 16].astype(jnp.int32)
+                medium_id = jnp.where(
+                    new_alive & out["is_transmission"],
+                    jnp.where(entering, mat_medium, -1), medium_id)
+                ray_o = jnp.where(scatters[:, None], scatter_o, ray_o)
+                ray_d = jnp.where(scatters[:, None], scatter_dir, ray_d)
+                new_alive = new_alive | scatters
+                prev_nee_out = prev_nee_out & ~scatters
+                last_pdf_out = jnp.where(scatters, 1.0, last_pdf_out)
             return (ray_o, ray_d, radiance, out["throughput"], new_alive,
-                    out["prev_allow_nee"], out["last_pdf"], medium_id,
+                    prev_nee_out, last_pdf_out, medium_id,
                     cone_width, direct, rays_traced,
                     *((rr_alb,) if demodulate else ())), aovs_out
 
@@ -625,6 +652,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             u_rr, _ = draw2(rng.SampleDimension.RUSSIAN_ROULETTE,
                             pixel_index, bounce, sample_index)
             alive = alive & (u_rr <= survival)
+            # Media-scattered lanes bypass the surface path but are still
+            # subject to the SAME kill: the reference calls
+            # russian_roulette() on the scattered ray before emitting it
+            # (Pathtracer.cu:287) — rescaling without the kill would bias
+            # scattered paths bright.
+            scatters = scatters & (u_rr <= survival)
             throughput = throughput / jnp.maximum(survival, 1e-8)[:, None]
 
         # ---- surface shading (reference: Pathtracer.cu shade_material) ----
@@ -1043,10 +1076,12 @@ class Pathtracer:
     def use_gather_shade(self) -> bool:
         """The SCENE-SCALE fused shade megakernel
         (ops/pallas_shade_gather.py): gathers stay in XLA, all remaining
-        per-bounce shade math runs in one Mosaic kernel. No size, texture
-        or sky gate — only the 5 core material types and no media. The
-        small-scene SMEM megakernel (use_pallas_shade) keeps priority when
-        it applies (it also fuses the gathers + sampler)."""
+        per-bounce shade math runs in one Mosaic kernel. No size, texture,
+        sky or media gate — only the 5 core material types (media distance
+        sampling stays in the XLA pre-stage; the HG continuation merges
+        after the kernel). The small-scene SMEM megakernel
+        (use_pallas_shade) keeps priority when it applies (it also fuses
+        the gathers + sampler)."""
         return (self.buffers is not None
                 and self.buffers.get("shade_gather") is not None
                 and jax.default_backend() == "tpu"

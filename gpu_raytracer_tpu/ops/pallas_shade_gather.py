@@ -70,8 +70,13 @@ FORCE_INTERPRET = False
 
 def supports_gather_shade(mat_types, num_mats: int, num_lights: int,
                           has_media: bool) -> bool:
-    """Gate: the 5 core material types, no participating media (media
-    scattering keeps the XLA bounce body), tables within SMEM."""
+    """Gate: the 5 core material types, tables within SMEM. Media scenes
+    ARE supported since round 4: medium distance sampling stays in the XLA
+    pre-stage (per-lane math over a 3-row sigma table — no gathers worth
+    fusing), scattered lanes enter the kernel dead, and the integrator
+    merges the HG continuation back using the kernel's is_transmission
+    output for the medium-id handoff (reference handles media in the same
+    wavefront, Pathtracer.cu:252-325)."""
     import numpy as np
 
     from gpu_raytracer_tpu.scene.types import MaterialType
@@ -82,8 +87,7 @@ def supports_gather_shade(mat_types, num_mats: int, num_lights: int,
                 int(MaterialType.CONDUCTOR)}
     if not types.issubset(ok_types):
         return False
-    if has_media:
-        return False
+    del has_media  # supported; parameter kept for call-site clarity
     table_bytes = 4 * (48 * num_mats + 16 * max(num_lights, 1) + 4)
     return table_bytes <= MAX_TABLE_BYTES
 
@@ -105,7 +109,7 @@ def _kernel(enable_nee, enable_mis, enable_rr, demod,
             nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o,
             ntx_o, nty_o, ntz_o, nalive_o, nnee_o, nlpdf_o,
             sox_o, soy_o, soz_o, sdx_o, sdy_o, sdz_o, stmax_o,
-            ilx_o, ily_o, ilz_o):
+            ilx_o, ily_o, ilz_o, ntrans_o):
     M = mat_tbl.shape[1]
     L = lgt_tbl.shape[1]
 
@@ -283,6 +287,10 @@ def _kernel(enable_nee, enable_mis, enable_rr, demod,
     (ox_s, oy_s, oz_s), pdf, (mul_r, mul_g, mul_b), valid = \
         bsdf_sample_dispatch(mlane, (wix, wiy, wiz), f0, f1, r3, r4)
 
+    # Dielectric transmission = sampled direction below the surface in the
+    # local frame (bsdf.py is_transmission; drives medium-id transitions).
+    is_trans = mlane["is_diel"] & (oz_s < 0.0)
+
     active = active & valid
     tpx = jnp.where(active, tpx * mul_r, tpx)
     tpy = jnp.where(active, tpy * mul_g, tpy)
@@ -319,6 +327,7 @@ def _kernel(enable_nee, enable_mis, enable_rr, demod,
     ilx_o[0] = ilx
     ily_o[0] = ily
     ilz_o[0] = ilz
+    ntrans_o[0] = is_trans.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("enable_nee", "enable_mis", "enable_rr",
@@ -385,7 +394,7 @@ def shade_scene_pallas(tables, params_vec, lanes,
     f32 = jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)
     i32 = jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)
     out_shape = [f32] * 3 + [f32] * 6 + [f32] * 3 + [i32, i32, f32] + \
-        [f32] * 7 + [f32] * 3
+        [f32] * 7 + [f32] * 3 + [i32]
 
     outs = pl.pallas_call(
         partial(_kernel, enable_nee, enable_mis, enable_rr, demod),
@@ -403,7 +412,7 @@ def shade_scene_pallas(tables, params_vec, lanes,
 
     (radx, rady, radz, nox, noy, noz, ndx, ndy, ndz, ntx, nty, ntz,
      nalive, nnee, nlpdf, sox, soy, soz, sdx, sdy, sdz, stmax,
-     ilx, ily, ilz) = [up(o) for o in outs]
+     ilx, ily, ilz, ntrans) = [up(o) for o in outs]
     return {
         "radiance_add": jnp.stack([radx, rady, radz], axis=-1),
         "ray_o": jnp.stack([nox, noy, noz], axis=-1),
@@ -416,4 +425,5 @@ def shade_scene_pallas(tables, params_vec, lanes,
         "shadow_d": jnp.stack([sdx, sdy, sdz], axis=-1),
         "shadow_tmax": stmax,
         "illumination": jnp.stack([ilx, ily, ilz], axis=-1),
+        "is_transmission": ntrans != 0,
     }

@@ -26,10 +26,11 @@ def _interpret():
 
 
 def test_gate_scope():
-    # The 5 core material types pass at any scene size; media and
+    # The 5 core material types pass at any scene size, WITH media (the
+    # HG continuation merges outside the kernel since round 4);
     # SMEM-overflowing material/light tables do not.
     assert psg.supports_gather_shade(np.array([0, 1, 2, 3, 4]), 5, 2, False)
-    assert not psg.supports_gather_shade(np.array([0, 1]), 2, 2, True)
+    assert psg.supports_gather_shade(np.array([0, 1]), 2, 2, True)
     assert not psg.supports_gather_shade(np.array([0, 1]), 4000, 2, False)
     assert psg.supports_gather_shade(np.array([0, 1]), 500, 500, False)
 
@@ -74,6 +75,47 @@ def test_mixed_bsdf_statistical_parity():
         a, _ = render_wave(buffers, camera, pix, s, config, W, 0, True, True)
         b, _ = render_wave(buffers, camera, pix, s, config, W, 0, True, True,
                            use_gather_shade=True)
+        acc_a += np.asarray(a)
+        acc_b += np.asarray(b)
+    acc_a /= 4
+    acc_b /= 4
+    np.testing.assert_allclose(acc_b.mean(axis=0), acc_a.mean(axis=0),
+                               rtol=0.02)
+    d = np.abs(acc_a - acc_b).max(axis=1)
+    assert float(np.quantile(d, 0.90)) < 0.02, float(np.quantile(d, 0.90))
+
+
+def test_media_scene_statistical_parity():
+    """Mixed BSDFs + a homogeneous medium through the gathered kernel: the
+    XLA pre-stage samples scatter distances, scattered lanes ride through
+    the kernel dead and rejoin with their HG continuation via the kernel's
+    is_transmission output (reference: media handled in the same
+    wavefront, Pathtracer.cu:252-325). Statistical tolerance for the same
+    Kulla-Conty polynomial-vs-LUT reason as the mixed-BSDF test."""
+    from tests.test_pallas_shade import _mixed_scene
+
+    from gpu_raytracer_tpu.scene.types import Medium
+
+    W = 32
+    scene = _mixed_scene(W)
+    # Homogeneous absorbing+scattering medium inside the glass sphere
+    # (same synthetic candles-class setup as bench.bench_mixed).
+    scene.mediums.append(Medium.from_sigmas(
+        "juice", [0.4, 0.1, 0.1], [0.2, 0.2, 0.2]))
+    glass = next(m for m in scene.materials if m.name == "glass")
+    glass.medium_id = 0
+    scene.finalize()
+    buffers = build_scene_buffers(scene)
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    pix = jnp.arange(W * W, dtype=jnp.int32)
+    config = GPUConfig(num_bounces=6)
+    acc_a = np.zeros((W * W, 3), np.float32)
+    acc_b = np.zeros((W * W, 3), np.float32)
+    for s in range(4):
+        a, _ = render_wave(buffers, camera, pix, s, config, W, 0, True,
+                           True, has_media=True)
+        b, _ = render_wave(buffers, camera, pix, s, config, W, 0, True,
+                           True, has_media=True, use_gather_shade=True)
         acc_a += np.asarray(a)
         acc_b += np.asarray(b)
     acc_a /= 4
