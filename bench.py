@@ -244,6 +244,58 @@ def pallas_parity_check():
     return ok
 
 
+def fused_shade_image_gate(spp=64, W=64):
+    """IMAGE-SPACE error bound for the fused gather-shade path (VERDICT r3
+    item 9): mixed-BSDF scene accumulated to `spp` on BOTH the XLA bounce
+    body and the compiled gather-shade kernel, gated on relative RMSE.
+    The kernel evaluates degree-7 Kulla-Conty polynomial curves (~1e-2
+    max fit error on E(mu)) where the XLA body taps trilinear LUTs; over
+    many samples the borderline lobe flips average out, so the converged
+    images must agree far more tightly than any single sample — this
+    bounds the shipped energy error, which the mean/flip gate above
+    cannot. Returns (rel_rmse, ok)."""
+    import sys as _s
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return None, None
+    _s.path.insert(0, ".")
+    from tests.test_pallas_shade import _mixed_scene
+
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
+    from gpu_raytracer_tpu.ops.camera_rays import tile_order
+
+    scene = _mixed_scene(W)
+    buffers = build_scene_buffers(scene)
+    config = GPUConfig(num_bounces=6)
+    mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
+    pix = jnp.asarray(tile_order(W, W))
+    camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
+    p = _paths(buffers, W, W, 6)
+
+    acc_a = jnp.zeros((W * W, 3), jnp.float32)
+    acc_b = jnp.zeros((W * W, 3), jnp.float32)
+    for s in range(spp):
+        acc_a = acc_a + render_wave(buffers, camera, pix, s, config, W, 0,
+                                    True, use_pallas=p["pallas"],
+                                    use_wide=p["wide"],
+                                    mat_types=mat_types)
+        acc_b = acc_b + render_wave(buffers, camera, pix, s, config, W, 0,
+                                    True, use_pallas=p["pallas"],
+                                    use_wide=p["wide"],
+                                    use_gather_shade=True,
+                                    mat_types=mat_types)
+    a = np.asarray(acc_a) / spp
+    b = np.asarray(acc_b) / spp
+    rel_rmse = float(np.sqrt(np.mean((a - b) ** 2)) / max(a.mean(), 1e-6))
+    return rel_rmse, rel_rmse < 3e-3
+
+
 def bench_mixed(W=512, num_bounces=6, samples=4):
     """BASELINE config #4 proxy (glass-of-water/candles class): rough
     dielectric + conductor + plastic with Kulla-Conty and a homogeneous
@@ -281,7 +333,9 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
     def sample(s):
         return render_wave(buffers, camera, pix, s, config, W, 0, True,
                            True, has_media=True, use_pallas=p["pallas"],
-                           use_wide=p["wide"], mat_types=mat_types)
+                           use_wide=p["wide"],
+                           use_gather_shade=p["gather_shade"],
+                           mat_types=mat_types)
     radiance, rays = sample(0)
     jax.block_until_ready(radiance)
     t0 = time.time()
@@ -334,13 +388,18 @@ def bench_stream(n_tris=5_000_000, R=1 << 20):
     d = jnp.asarray(d)
     tmax = jnp.full((R,), np.inf, jnp.float32)
 
+    # Unique origin per timed call: the axon backend memoizes same-input
+    # executions (a repeat call with identical buffers returns in ~0.1 ms),
+    # so timing loops must never reuse an input buffer.
+    ovs = [jax.block_until_ready(o + (k + 1) * 1e-6) for k in range(4)]
+
     def rate(fn):
-        out = fn()
+        out = fn(ovs[0])
         jax.block_until_ready(out)
         t0 = time.time()
-        for _ in range(3):
-            out = fn()
-        jax.block_until_ready(out)
+        for k in range(3):
+            out = fn(ovs[k + 1])
+            jax.block_until_ready(out)
         return R * 3 / (time.time() - t0) / 1e6
 
     # Resident baseline at a VMEM-sized soup (same ray wave).
@@ -348,15 +407,15 @@ def bench_stream(n_tris=5_000_000, R=1 << 20):
     resident = wide_mod.pack_wide_merged(wv, idx, leaf)
     nodes = jnp.asarray(resident["nodes"])
     rows = jnp.asarray(resident["rows"])
-    res_mrays = rate(lambda: pallas_gang.trace_closest_gang(
-        nodes, rows, o, d, tmax, flat=True))
+    res_mrays = rate(lambda ov: pallas_gang.trace_closest_gang(
+        nodes, rows, ov, d, tmax, flat=True))
 
     wv, idx, leaf = pack(n_tris, 2)
     paged = stream_mod.pack_wide_stream(wv, idx, leaf)
     tables = {k: jnp.asarray(v) for k, v in paged.items()
               if not isinstance(v, int)}
-    st_mrays = rate(lambda: pallas_stream.trace_closest_stream(
-        tables, o, d, tmax))
+    st_mrays = rate(lambda ov: pallas_stream.trace_closest_stream(
+        tables, ov, d, tmax))
     _, _, residual = pallas_stream._trace_stream(
         tables["resident"], tables["pages"], tables["portal_page"],
         tables["portal_root"], o, d, tmax)
@@ -490,6 +549,15 @@ def main() -> int:
         _log(f"pallas parity check failed: {e}")
         parity = False
     out["pallas_tpu_parity_ok"] = parity
+
+    try:
+        rr, rr_ok = fused_shade_image_gate()
+        out["fused_shade_rel_rmse"] = (round(rr, 6) if rr is not None
+                                       else None)
+        out["fused_shade_image_ok"] = rr_ok
+    except Exception as e:
+        _log(f"fused shade image gate failed: {e}")
+        out["fused_shade_image_ok"] = False
 
     sponza_scene = sponza_buffers = None
     try:

@@ -41,6 +41,24 @@ WMARGIN = 64     # column margin each side (>= 32, keeps W padded to 128)
 # Test hook: CPU-backend tests flip this to run through the interpreter.
 FORCE_INTERPRET = False
 
+# Scoped-VMEM cap passed to the stencil kernels (raised from the 16 MB
+# default: the unrolled 49-tap bodies keep many live band-sized
+# temporaries and OOMed on chip at the default, commit 677e4c8).
+VMEM_CAP = 120 * 1024 * 1024
+
+
+def supports_width(width: int) -> bool:
+    """Does a frame of this width fit the stencil kernels' VMEM budget?
+
+    The double-buffered input windows alone are 2 bands x (5 guide + 8
+    dyn) channels x TH rows x padded width x 4 B; with the output band and
+    ~24 band temporaries the working set must stay under VMEM_CAP — at
+    ~8K wide (Wp ~ 8300) the windows alone exceed it and compilation
+    fails, so callers must take the XLA path instead (ADVICE r3)."""
+    wp = -(-width // 128) * 128 + 2 * WMARGIN
+    bands = (2 * 2 * (5 + 8) + 8 + 24) * TH * wp * 4
+    return bands <= VMEM_CAP
+
 _GAUSS_3 = [[1.0 / 16, 2.0 / 16, 1.0 / 16],
             [2.0 / 16, 4.0 / 16, 2.0 / 16],
             [1.0 / 16, 2.0 / 16, 1.0 / 16]]
@@ -274,7 +292,7 @@ def _run_stencil(kernel_fn, guide_p, dyn_p, G, Wc, interpret):
         # the cap to the working set: 2x double-buffered input windows +
         # output band + ~24 band temporaries.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_CAP,
         ),
         interpret=interpret,
     )(guide_p, guide_p, dyn_p, dyn_p)
@@ -315,6 +333,10 @@ def svgf_spatial_pallas(frame, integrated, iterations: int = 6,
     if (1 << max(iterations - 1, 0)) > HALO:
         raise ValueError(f"atrous step 2^{iterations - 1} exceeds the "
                          f"kernel halo {HALO}; use the XLA path")
+    if not supports_width(frame["depth"].shape[1]):
+        raise ValueError("frame width exceeds the stencil kernels' "
+                         "scoped-vmem budget; use the XLA path "
+                         "(pallas_svgf.supports_width)")
     interpret = interpret or FORCE_INTERPRET
     H, W = frame["depth"].shape
     G, rows_pad, Wc = _grid_dims(H, W)

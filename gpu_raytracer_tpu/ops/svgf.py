@@ -57,6 +57,69 @@ def _shift(img, dy, dx):
     return padded[max(-dy, 0): max(-dy, 0) + H, max(-dx, 0): max(-dx, 0) + W]
 
 
+# Residual half-window of the gather-free reprojection fetch (below) and
+# the largest global integer motion it aligns away per frame.
+REPROJECT_WIN = 2
+REPROJECT_MAX_SHIFT = 64
+
+
+def windowed_fetch(img, x0, y0, win=REPROJECT_WIN):
+    """Gather-free per-pixel fetch of img[y0, x0] for reprojection.
+
+    A full-screen row gather on TPU is START-LATENCY bound (~50 ns per row
+    x 2M pixels ~= 100+ ms at 1080p regardless of row width — measured on
+    both the SVGF reproject and the TAA resample, round 4). Reprojection
+    targets are ALMOST the identity map: previous-frame positions differ
+    from the pixel by sub-pixel jitter + motion. So instead of gathering:
+
+      1. align away the GLOBAL integer motion with one dynamic_slice of an
+         edge-padded copy (handles full-screen pans up to
+         REPROJECT_MAX_SHIFT px/frame),
+      2. resolve the per-pixel RESIDUAL (|r| <= win) with two separable
+         shift-select passes ((2*win+1) row views, then (2*win+1) column
+         views) — pure HBM-bandwidth stencil work, ~10 ms where the gather
+         cost ~100 ms.
+
+    Pixels whose residual exceeds the window return edge-garbage and MUST
+    be masked via the returned `in_window`; reprojection treats them as
+    history misses (exactly how off-screen or inconsistent taps already
+    degrade — during fast rotation/parallax the temporal history is
+    semantically stale anyway). Matches the reference's texture-cache
+    fetch economics (SVGF.h:130-282) the TPU way.
+    Returns (rows (H, W, C) = img[y0, x0], in_window (H, W) bool).
+    """
+    H, W = img.shape[0], img.shape[1]
+    C = img.shape[2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    dx = x0 - cols
+    dy = y0 - rows_i
+    P = REPROJECT_MAX_SHIFT
+    gx = jnp.clip(jnp.round(jnp.mean(dx.astype(jnp.float32))),
+                  -P, P).astype(jnp.int32)
+    gy = jnp.clip(jnp.round(jnp.mean(dy.astype(jnp.float32))),
+                  -P, P).astype(jnp.int32)
+    padded = jnp.pad(img, ((P, P), (P, P), (0, 0)), mode="edge")
+    aligned = jax.lax.dynamic_slice(padded,
+                                    (P + gy, P + gx, jnp.int32(0)),
+                                    (H, W, C))
+    rx = dx - gx
+    ry = dy - gy
+    in_window = (jnp.abs(rx) <= win) & (jnp.abs(ry) <= win)
+    # Direct (2*win+1)^2 shifted-view select. NOT separable into a row
+    # pass then a column pass: the row residual varies per pixel, so a
+    # column shift of a row-selected intermediate would read a NEIGHBOR
+    # pixel's row choice.
+    out = _shift(aligned, win, win)  # (a, b) = (-win, -win)
+    for a in range(-win, win + 1):
+        for b in range(-win, win + 1):
+            if a == -win and b == -win:
+                continue
+            out = jnp.where(((ry == a) & (rx == b))[..., None],
+                            _shift(aligned, -a, -b), out)
+    return out, in_window
+
+
 def project_to_screen(points, view_projection, width, height):
     """World points (H, W, 3) -> screen pixel coords (H, W, 2) using the 4x4
     column-vector view-projection (reference: svgf_reproject back-projection)."""
@@ -127,11 +190,14 @@ def reproject(frame: dict, history: SVGFHistory, screen_prev,
     ], axis=-1)  # (H, W, 64)
     xb = jnp.clip(x0, 0, W - 2)
     yb = jnp.clip(y0, 0, H - 2)
-    rows = quad.reshape(H * W, 64)[yb * W + xb].reshape(H, W, 64)
+    # Gather-free reprojection fetch (windowed_fetch): taps whose residual
+    # motion exceeds the window count as history misses, like off-screen.
+    rows, in_window = windowed_fetch(quad, xb, yb)
     inst_cur = frame["instance"].astype(jnp.float32)
 
     def tap(xi, yi, wgt):
-        in_bounds = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        in_bounds = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                     & in_window)
         slot = jnp.clip(yi - yb, 0, 1) * 2 + jnp.clip(xi - xb, 0, 1)
         f = rows[..., 0:16]
         f = jnp.where((slot == 1)[..., None], rows[..., 16:32], f)
@@ -369,7 +435,10 @@ def svgf_step(frame: dict, history: SVGFHistory, view_projection_prev,
 
     integrated = reproject(frame, history, screen_prev,
                            config.svgf_alpha_colour, config.svgf_alpha_moments)
-    if use_pallas and (1 << max(config.svgf_atrous_iterations - 1, 0)) <= 32:
+    from gpu_raytracer_tpu.ops.pallas_svgf import supports_width
+
+    if (use_pallas and supports_width(W)
+            and (1 << max(config.svgf_atrous_iterations - 1, 0)) <= 32):
         from gpu_raytracer_tpu.ops.pallas_svgf import svgf_spatial_pallas
 
         direct, indirect, (fb_direct, fb_indirect) = svgf_spatial_pallas(

@@ -70,16 +70,19 @@ def resample_mitchell(img, screen_pos):
 
 
 def resample_mitchell_quad(img, screen_pos):
-    """resample_mitchell with ONE gather instead of 16.
+    """resample_mitchell with NO gather at all.
 
-    TPU gathers are HBM-latency-bound per START (ops/vec.py findings), so
-    16 per-tap image gathers dominate the TAA cost at 1080p. Instead the
-    whole 4x4 footprint is prebuilt as a 48-channel quad image (15 cheap
-    bandwidth shifts), gathered ONCE at the clipped footprint base, and
-    each tap selects its quadrant by lane mask — the same design as the
-    SVGF reproject (ops/svgf.reproject). Exact: for every in-bounds tap
-    the footprint base clipping keeps the tap inside the gathered 4x4
-    window, and out-of-bounds taps have zero weight."""
+    TPU gathers are HBM-latency-bound per START (~100 ms for one
+    full-screen row gather at 1080p — ops/vec.py findings), so even the
+    round-3 one-gather quad design left TAA at ~165 ms/frame. The 4x4
+    footprint is prebuilt as a 48-channel quad image (15 cheap bandwidth
+    shifts) and fetched per pixel by svgf.windowed_fetch: one dynamic
+    global-motion alignment + separable residual shift-selects — pure
+    stencil bandwidth. Taps whose residual motion exceeds the fetch
+    window fall back to the current frame (history miss), the same
+    degradation the reference accepts for off-screen reprojection."""
+    from gpu_raytracer_tpu.ops.svgf import windowed_fetch
+
     H, W = img.shape[0], img.shape[1]
     px = screen_pos[..., 0] - 0.5
     py = screen_pos[..., 1] - 0.5
@@ -91,7 +94,7 @@ def resample_mitchell_quad(img, screen_pos):
     quad = jnp.concatenate(
         [_shift(img, -dy, -dx) for dy in range(4) for dx in range(4)],
         axis=-1)                                   # (H, W, 48)
-    rows = quad.reshape(H * W, 48)[yb * W + xb].reshape(H, W, 48)
+    rows, in_window = windowed_fetch(quad, xb, yb)
 
     colour = jnp.zeros(img.shape, jnp.float32)
     weight = jnp.zeros((H, W), jnp.float32)
@@ -101,7 +104,7 @@ def resample_mitchell_quad(img, screen_pos):
             yi = y0 + j
             w = _mitchell(px - xi) * _mitchell(py - yi)
             in_bounds = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            w = jnp.where(in_bounds, w, 0.0)
+            w = jnp.where(in_bounds & in_window, w, 0.0)
             slot = jnp.clip(yi - yb, 0, 3) * 4 + jnp.clip(xi - xb, 0, 3)
             val = rows[..., 0:3]
             for s in range(1, 16):
