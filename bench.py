@@ -331,10 +331,14 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
     p = _paths(buffers, W, W, num_bounces)
 
     def sample(s):
+        # Media scenes take the gather-shade megakernel since round 4
+        # (supports_gather_shade allows media; the small-scene SMEM
+        # megakernel does not do media, so it is NOT selected here).
         return render_wave(buffers, camera, pix, s, config, W, 0, True,
                            True, has_media=True, use_pallas=p["pallas"],
                            use_wide=p["wide"],
-                           use_gather_shade=p["gather_shade"],
+                           use_gather_shade=buffers.get("shade_gather")
+                           is not None,
                            mat_types=mat_types)
     radiance, rays = sample(0)
     jax.block_until_ready(radiance)
@@ -597,9 +601,16 @@ def main() -> int:
         try:
             scene, buffers = _load_scene(
                 "/root/reference/Data/instancing/scene.xml", 512, 512)
-            inst_mrays, _, _ = bench_scene(scene, buffers, 512, 512, 4, None,
-                                           samples=4)
+            inst_mrays, inst_ms, _ = bench_scene(scene, buffers, 512, 512,
+                                                 4, None, samples=4)
             out["instancing512_mrays"] = round(inst_mrays, 3)
+            out["instancing_ms_per_sample"] = round(inst_ms, 1)
+            # The Data snapshot ships scene.xml but NOT lucy.obj: 441 of
+            # 444 instances degrade to empty meshes, so almost every ray
+            # dies at bounce 0 and the rays/s metric is dominated by
+            # per-wave fixed cost at a near-empty wavefront — report the
+            # wall-clock per sample alongside.
+            out["instancing_note"] = "lucy.obj absent from Data snapshot"
         except Exception as e:
             _log(f"instancing failed: {e}")
 
@@ -608,16 +619,6 @@ def main() -> int:
             out["mixed_media512_mrays"] = round(bench_mixed(), 3)
         except Exception as e:
             _log(f"mixed/media failed: {e}")
-
-    if _left() > 240:
-        try:
-            st, res, residual = bench_stream()
-            out["stream5M_mrays"] = round(st, 3) if st else None
-            out["stream_vs_resident"] = (round(st / res, 3)
-                                         if st and res else None)
-            out["stream_residual_lanes"] = residual
-        except Exception as e:
-            _log(f"stream probe failed: {e}")
 
     if _left() > 150:
         try:
@@ -636,6 +637,19 @@ def main() -> int:
                     for k, v in a.items()}
         except Exception as e:
             _log(f"sponza anchor failed: {e}")
+
+    # LAST on purpose: a mid-probe TPU device fault poisons every later
+    # device call in this process (observed round 4: a stream-probe fault
+    # took the anchor probes down with it).
+    if _left() > 240:
+        try:
+            st, res, residual = bench_stream()
+            out["stream5M_mrays"] = round(st, 3) if st else None
+            out["stream_vs_resident"] = (round(st / res, 3)
+                                         if st and res else None)
+            out["stream_residual_lanes"] = residual
+        except Exception as e:
+            _log(f"stream probe failed: {e}")
 
     print(json.dumps(out))
     return 0

@@ -12,6 +12,13 @@ from gpu_raytracer_tpu.ops.sampling import PI, TWO_PI
 def sample_sky(sky: jnp.ndarray, sky_scale, direction: jnp.ndarray) -> jnp.ndarray:
     """sky: (H, W, 3); direction: (R, 3) unit vectors -> (R, 3) radiance."""
     H, W = sky.shape[0], sky.shape[1]
+    if H == 1 and W == 1:
+        # Constant sky (the default for scenes with no envmap emitter,
+        # e.g. Sponza): shapes are static under jit, so this skips the 4
+        # equirect gathers entirely — a full-wave gather costs ~50-100 ms
+        # of start latency PER BOUNCE at 1080p (round-4 finding).
+        return jnp.broadcast_to(sky[0, 0] * sky_scale,
+                                direction.shape[:-1] + (3,))
     # Equirect: u from azimuth, v from elevation (y-up).
     phi = jnp.arctan2(direction[..., 2], direction[..., 0])
     theta = jnp.arccos(jnp.clip(direction[..., 1], -1.0, 1.0))
