@@ -122,9 +122,12 @@ def bench_scene(scene, buffers, W, H, num_bounces, povs, samples=2):
         t0 = time.time()
         for s in range(1, samples + 1):
             radiance, rays = sample(camera, s)
-        jax.block_until_ready(radiance)
+        # Forced scalar readback INSIDE the timed region: block_until_ready
+        # does not reliably block on this backend (trusted protocol,
+        # memory: tpu-tunnel-constraints).
+        n_rays = float(rays)
         elapsed = time.time() - t0
-        results.append((float(rays) * samples / elapsed / 1e6,
+        results.append((n_rays * samples / elapsed / 1e6,
                         elapsed / samples * 1000.0))
     mrays = sum(r[0] for r in results) / len(results)
     ms = sum(r[1] for r in results) / len(results)
@@ -134,14 +137,20 @@ def bench_scene(scene, buffers, W, H, num_bounces, povs, samples=2):
 def bench_denoised(scene, buffers, W, H, frames=3):
     """SVGF+TAA interactive path: ms per denoised 1spp frame, plus the
     bare traced-sample ms on the same wave so the denoise overhead
-    (frame - trace) is attributed in the output (VERDICT r3 item 2)."""
+    (frame - trace) is attributed in the output (VERDICT r3 item 2).
+
+    Timed by the trusted protocol (memory: tpu-tunnel-constraints):
+    fresh sample_index per call and a forced 4-byte scalar readback —
+    block_until_ready alone over-reported the fused frame by ~800 ms in
+    the round-4 validation run."""
     import jax
     import jax.numpy as jnp
 
     from gpu_raytracer_tpu.config import GPUConfig
     from gpu_raytracer_tpu.integrators.pathtracer import (
-        Pathtracer, render_wave,
+        _denoised_frame, render_wave,
     )
+    from gpu_raytracer_tpu.ops import svgf as svgf_ops
     from gpu_raytracer_tpu.ops.camera_rays import tile_order
     from gpu_raytracer_tpu.utils.perftest import POVS_SPONZA
 
@@ -149,35 +158,50 @@ def bench_denoised(scene, buffers, W, H, frames=3):
     scene.camera.resize(W, H)
     _set_pov(scene, POVS_SPONZA[0])
     gpu = GPUConfig(num_bounces=3, enable_svgf=True, enable_taa=True)
-    pt = Pathtracer(scene, gpu_config=gpu)
-    pt.buffers = buffers  # reuse the shared build
-    pt.accumulator = jnp.zeros((W * H, 3), jnp.float32)
-    pt.invalidated.clear()
-
-    out = pt.render_frame_denoised()  # warmup/compile
-    t0 = time.time()
-    for _ in range(frames):
-        out = pt.render_frame_denoised()
-    frame_ms = (time.time() - t0) / frames * 1000.0
-
-    # Bare traced 1spp sample with AOVs (the denoised frame's trace stage).
     camera = {k: jnp.asarray(v) for k, v in scene.camera.params().items()}
     idx = jnp.asarray(tile_order(W, H))
     p = _paths(buffers, W, H, 3)
     mat_types = tuple(sorted({int(m.type) for m in scene.materials}))
 
+    dsum = jax.jit(lambda x: jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+    history = svgf_ops.init_history(H, W)
+    taa_prev = jnp.zeros((H, W, 3), jnp.float32)
+    vp_prev = jnp.asarray(scene.camera.view_projection)
+
+    def frame(s):
+        colour, _, _ = _denoised_frame(
+            buffers, camera, idx, s, history, vp_prev, taa_prev,
+            jnp.asarray(s == 0), gpu, W, H, 0, scene.has_lights,
+            len(scene.textures) > 0, len(scene.mediums) > 0,
+            p["pallas"], p["wide"], mat_types,
+            use_gather_shade=p["gather_shade"], use_stream=p["stream"])
+        return colour
+
+    float(dsum(frame(0)))  # warmup/compile
+    vals = []
+    for s in range(1, frames + 1):
+        t0 = time.time()
+        float(dsum(frame(s)))
+        vals.append((time.time() - t0) * 1000.0)
+    frame_ms = sorted(vals)[len(vals) // 2]
+
+    # Bare traced 1spp sample with AOVs (the denoised frame's trace stage).
     def trace(s):
         return render_wave(buffers, camera, idx, s, gpu, W, 0,
                            scene.has_lights, with_aovs=True,
                            has_textures=len(scene.textures) > 0,
                            use_pallas=p["pallas"], use_wide=p["wide"],
                            use_gather_shade=p["gather_shade"],
-                           use_stream=p["stream"], mat_types=mat_types)
+                           use_stream=p["stream"],
+                           mat_types=mat_types)["direct"]
 
-    jax.block_until_ready(trace(0))
-    t0 = time.time()
-    jax.block_until_ready(trace(1))
-    trace_ms = (time.time() - t0) * 1000.0
+    float(dsum(trace(0)))
+    vals = []
+    for s in range(1, frames + 1):
+        t0 = time.time()
+        float(dsum(trace(s)))
+        vals.append((time.time() - t0) * 1000.0)
+    trace_ms = sorted(vals)[len(vals) // 2]
     return frame_ms, trace_ms
 
 
@@ -349,12 +373,19 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
     return float(rays) * samples / (time.time() - t0) / 1e6
 
 
-def bench_stream(n_tris=5_000_000, R=1 << 20):
+def bench_stream(n_tris=2_000_000, R=1 << 19):
     """Beyond-VMEM streaming probe: a synthetic n_tris soup forced through
     the paged kernel vs a same-density VMEM-resident soup through the gang
     kernel. Returns (stream_mrays, resident_mrays, residual_lanes) —
     residual must be 0 (the loss-free re-entry loop resolves every portal
-    overflow, ops/pallas_stream.py)."""
+    overflow, ops/pallas_stream.py).
+
+    2M tris / 512k rays (round 4, down from 5M/1M): the loss-free loops
+    now do ALL the portal work the round-3 kernel silently dropped at its
+    64-round cap, and at 5M the single-kernel on-device time trips the
+    TPU watchdog ('worker crashed or restarted') — a real scale limit of
+    the current portal-drain throughput, documented in
+    ops/pallas_stream.py."""
     import numpy as np
     import jax
     import jax.numpy as jnp

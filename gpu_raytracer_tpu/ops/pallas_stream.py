@@ -64,6 +64,14 @@ K_PORTALS = 16
 MAX_ROUNDS = 1024   # inner page-round safety cap (>= 1 slot clears/round)
 MAX_PASSES = 64     # outer re-entry cap: 64 * K = 1024 portals per lane
 
+# KNOWN SCALE LIMIT (round 4): making the traversal loss-free means the
+# round/pass loops now do ALL the portal work the round-3 kernel silently
+# dropped at its 64-round cap. Beyond ~2-4M triangles per launch the
+# single-XLA-program on-device time can trip the TPU watchdog ("worker
+# crashed or restarted"). Callers tracing larger scenes should split the
+# wave into chunks per launch; raising portal-drain throughput (more
+# portals retired per round) is the round-5 item.
+
 # Test hook: CPU-backend tests flip this to run through the interpreter.
 FORCE_INTERPRET = False
 
