@@ -495,9 +495,16 @@ def _render_pov(scene, buffers, W, H, spp, pov=None):
 
 
 def bench_anchor_instancing():
-    """Primary external anchor: Data/instancing rendered at its own
-    scene.xml camera vs the reference renderer's instancing.png — same
-    scene file, same camera, both engines' own output."""
+    """External anchor attempt: Data/instancing at its scene.xml camera vs
+    the reference's instancing.png. ATTRIBUTION (round 4): decomposing the
+    sensor transform EXACTLY like the reference loader (rotate LEFT-
+    multiplies translate, Matrix4::decompose forward=(0,0,-1)) puts the
+    default camera at R*t = (-155, 28, 4) facing AWAY from the room — the
+    reference's own loader yields the same void view, so instancing.png
+    was hand-flown in its interactive viewer; it also shows 441 lucy
+    statues whose lucy.obj is absent from the Data snapshot. No reference
+    screenshot ships with a reproducible scene+camera; the numbers are
+    recorded for continuity, not as a correctness bar."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -508,8 +515,15 @@ def bench_anchor_instancing():
     scene, buffers = _load_scene(
         "/root/reference/Data/instancing/scene.xml", 512, 288)
     img = _render_pov(scene, buffers, 512, 288, 8)
-    return compare(img, "/root/reference/Screenshots/instancing.png",
-                   size=(180, 320))
+    out = compare(img, "/root/reference/Screenshots/instancing.png",
+                  size=(180, 320))
+    out["note"] = ("scene.xml default camera faces empty space under the "
+                   "reference loader's own transform semantics (verified "
+                   "against MitsubaLoader.cpp parse_transform_matrix + "
+                   "Matrix4::decompose); instancing.png was captured from "
+                   "a hand-flown camera and shows lucy.obj geometry absent "
+                   "from the Data snapshot")
+    return out
 
 
 def bench_anchor_sponza(scene, buffers):
@@ -655,7 +669,8 @@ def main() -> int:
         try:
             a = bench_anchor_instancing()
             out["anchor_instancing"] = (
-                {k: round(v, 4) for k, v in a.items()} if a else None)
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in a.items()} if a else None)
         except Exception as e:
             _log(f"instancing anchor failed: {e}")
 
