@@ -373,19 +373,20 @@ def bench_mixed(W=512, num_bounces=6, samples=4):
     return float(rays) * samples / (time.time() - t0) / 1e6
 
 
-def bench_stream(n_tris=2_000_000, R=1 << 19):
+def bench_stream(n_tris=500_000, R=1 << 18):
     """Beyond-VMEM streaming probe: a synthetic n_tris soup forced through
     the paged kernel vs a same-density VMEM-resident soup through the gang
     kernel. Returns (stream_mrays, resident_mrays, residual_lanes) —
     residual must be 0 (the loss-free re-entry loop resolves every portal
     overflow, ops/pallas_stream.py).
 
-    2M tris / 512k rays (round 4, down from 5M/1M): the loss-free loops
-    now do ALL the portal work the round-3 kernel silently dropped at its
-    64-round cap, and at 5M the single-kernel on-device time trips the
-    TPU watchdog ('worker crashed or restarted') — a real scale limit of
-    the current portal-drain throughput, documented in
-    ops/pallas_stream.py."""
+    500k tris / 256k rays (round 4, down from 5M/1M): still genuinely
+    beyond-VMEM (pages total 128 MB vs a 9-row resident top), but the
+    loss-free loops now do ALL the portal work the round-3 kernel
+    silently dropped at its 64-round cap, and at 2M+ the single-launch
+    on-device time trips the TPU watchdog ('worker crashed or restarted',
+    reproduced at 2M and 5M) — a real scale limit of the current
+    portal-drain throughput, documented in ops/pallas_stream.py."""
     import numpy as np
     import jax
     import jax.numpy as jnp
