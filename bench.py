@@ -427,35 +427,45 @@ def bench_stream(n_tris=500_000, R=1 << 18):
     # Unique origin per timed call: the axon backend memoizes same-input
     # executions (a repeat call with identical buffers returns in ~0.1 ms),
     # so timing loops must never reuse an input buffer.
-    ovs = [jax.block_until_ready(o + (k + 1) * 1e-6) for k in range(4)]
+    ovs = [jax.block_until_ready(o + (k + 1) * 1e-6) for k in range(3)]
+    reps = 2  # the stream kernel runs 10s+ per call; 2 reps keeps the
+    #           probe inside the driver's BENCH_BUDGET_S
 
-    def rate(fn):
-        out = fn(ovs[0])
-        jax.block_until_ready(out)
+    dsum = jax.jit(lambda x: jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+
+    def rate(fn, force=lambda r: r):
+        """Trusted protocol: a forced 4-byte scalar readback per timed
+        call — block_until_ready does not reliably block here (this exact
+        loop once reported 3441 Mrays/s for a 10-s kernel). `force`
+        selects an f32 output array to sum-fetch."""
+        float(dsum(force(fn(ovs[0]))))  # warmup/compile
         t0 = time.time()
-        for k in range(3):
-            out = fn(ovs[k + 1])
-            jax.block_until_ready(out)
-        return R * 3 / (time.time() - t0) / 1e6
+        last = None
+        for k in range(reps):
+            last = fn(ovs[k + 1])
+            float(dsum(force(last)))
+        return R * reps / (time.time() - t0) / 1e6, last
 
     # Resident baseline at a VMEM-sized soup (same ray wave).
     wv, idx, leaf = pack(400_000, 1)
     resident = wide_mod.pack_wide_merged(wv, idx, leaf)
     nodes = jnp.asarray(resident["nodes"])
     rows = jnp.asarray(resident["rows"])
-    res_mrays = rate(lambda ov: pallas_gang.trace_closest_gang(
-        nodes, rows, ov, d, tmax, flat=True))
+    res_mrays, _ = rate(lambda ov: pallas_gang.trace_closest_gang(
+        nodes, rows, ov, d, tmax, flat=True), force=lambda h: h.t)
 
     wv, idx, leaf = pack(n_tris, 2)
     paged = stream_mod.pack_wide_stream(wv, idx, leaf)
     tables = {k: jnp.asarray(v) for k, v in paged.items()
               if not isinstance(v, int)}
-    st_mrays = rate(lambda ov: pallas_stream.trace_closest_stream(
-        tables, ov, d, tmax))
-    _, _, residual = pallas_stream._trace_stream(
-        tables["resident"], tables["pages"], tables["portal_page"],
-        tables["portal_root"], o, d, tmax)
-    n_res = int((np.asarray(residual) > 0).sum())
+    # The raw _trace_stream carries the residual output, so the timed
+    # calls double as the loss-free check (no extra kernel launch).
+    st_mrays, last = rate(
+        lambda ov: pallas_stream._trace_stream(
+            tables["resident"], tables["pages"], tables["portal_page"],
+            tables["portal_root"], ov, d, tmax),
+        force=lambda r: r[0])
+    n_res = int((np.asarray(last[2]) > 0).sum())
     if n_res:
         _log(f"stream probe: {n_res} lanes UNRESOLVED after "
              f"{pallas_stream.MAX_PASSES} re-entry passes")
