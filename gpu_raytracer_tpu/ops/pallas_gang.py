@@ -527,35 +527,19 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
                                axis=1, keepdims=True)  # (8, 1)
                 ref = blk[:, 48 + c:49 + c].astype(jnp.int32)       # (8, 1)
                 take = (ref != -1) & (tmin < jnp.inf)
-                if any_hit:
-                    keys.append(jnp.where(take, tmin, jnp.inf))
-                else:
-                    # Class-grouped ascending key: leaves in [-24, -16),
-                    # nodes in [-8, 0], invalid +inf — one sort yields
-                    # [leaf far->near | node far->near | invalid] (far
-                    # first: LIFO tops pop nearest). Distances are in
-                    # 1/8th-diameter units so the -16 class offset costs
-                    # < 2^-20 diameters of ordering precision.
-                    tn8 = -jnp.minimum(tmin * inv_diag, 8.0)
-                    keys.append(jnp.where(
-                        take, tn8 + jnp.where(ref <= -2, -16.0, 0.0),
-                        jnp.inf))
+                # Class-grouped ascending key: leaves in [-24, -16),
+                # nodes in [-8, 0], invalid +inf — one sort yields
+                # [leaf far->near | node far->near | invalid] (far
+                # first: LIFO tops pop nearest). Distances are in
+                # 1/8th-diameter units so the -16 class offset costs
+                # < 2^-20 diameters of ordering precision. Any-hit uses
+                # the same grouping: near-first raises the chance the
+                # next tri phase finds the occluder and drains the gang.
+                tn8 = -jnp.minimum(tmin * inv_diag, 8.0)
+                keys.append(jnp.where(
+                    take, tn8 + jnp.where(ref <= -2, -16.0, 0.0),
+                    jnp.inf))
                 refs.append(jnp.where(take, ref, jnp.int32(-1)))
-
-            if any_hit:
-                # Occlusion pass: order is irrelevant, keep the compact
-                # conditional pushes (dead gangs retire whole iterations).
-                for c in range(7, -1, -1):
-                    for g in range(GANGS):
-                        r = refs[c][g, 0]
-                        take_n = (r >= 0) & (sps[g] < STACK_DEPTH)
-                        stack_ref[g, jnp.where(take_n, sps[g], SCRAP)] = r
-                        sps[g] = sps[g] + take_n.astype(jnp.int32)
-                        take_l = (r <= -2) & (lqs[g] < LEAFQ_DEPTH)
-                        leafq_ref[g, jnp.where(take_l, lqs[g],
-                                               QSCRAP)] = -r - 2
-                        lqs[g] = lqs[g] + take_l.astype(jnp.int32)
-                return (sps, lqs, best_t, best_tri, occ)
 
             for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
                          (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
