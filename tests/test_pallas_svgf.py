@@ -103,3 +103,15 @@ def test_iteration_guard():
     frame, integrated = _fake_frame(64, 128, seed=1)
     with pytest.raises(ValueError):
         psv.svgf_spatial_pallas(frame, integrated, iterations=7)
+
+
+def test_width_guard():
+    """Frames beyond the stencil kernels' scoped-VMEM budget must be
+    rejected (ADVICE r3: the fixed 120 MB cap compile-fails at ~8K wide;
+    svgf_step falls back to the XLA path via supports_width)."""
+    assert psv.supports_width(1920)
+    assert psv.supports_width(3840)
+    assert not psv.supports_width(7680)
+    frame, integrated = _fake_frame(8, 7680, seed=2)
+    with pytest.raises(ValueError):
+        psv.svgf_spatial_pallas(frame, integrated, iterations=2)

@@ -241,3 +241,50 @@ def test_taa_quad_resample_matches_reference_form():
     b2, okc = taa.resample_mitchell_quad(img, jnp.asarray(pos2))
     hit = np.asarray(okc)
     assert float(np.abs(np.asarray(a2 - b2))[hit].max(initial=0.0)) < 1e-5
+
+
+def test_windowed_fetch_far_motion_resets_history():
+    """SVGF reproject through the gather-free windowed fetch: a pan far
+    beyond the fetch window must report invalid history (length reset to
+    1) rather than integrating wrong rows — the same degradation contract
+    as off-screen reprojection."""
+    import numpy as np
+
+    from gpu_raytracer_tpu.config import GPUConfig
+    from gpu_raytracer_tpu.ops import svgf as svgf_ops
+
+    H = W = 48
+    rng = np.random.default_rng(3)
+    history = svgf_ops.SVGFHistory(
+        direct=jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32)),
+        indirect=jnp.zeros((H, W, 3), jnp.float32),
+        moments=jnp.zeros((H, W, 4), jnp.float32),
+        length=jnp.full((H, W), 8.0, jnp.float32),
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                        (H, W, 1)),
+        depth=jnp.full((H, W), 5.0, jnp.float32),
+        instance=jnp.zeros((H, W), jnp.int32),
+    )
+    frame = {
+        "direct": jnp.ones((H, W, 3), jnp.float32),
+        "indirect": jnp.zeros((H, W, 3), jnp.float32),
+        "normal": jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                           (H, W, 1)),
+        "depth": jnp.full((H, W), 5.0, jnp.float32),
+        "instance": jnp.zeros((H, W), jnp.int32),
+    }
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    # In-window (identity) reprojection: history integrates (length 9).
+    sp_ok = jnp.asarray(np.stack([xx + 0.5, yy + 0.5], axis=-1))
+    out = svgf_ops.reproject(frame, history, sp_ok)
+    assert float(np.median(np.asarray(out["length"]))) == 9.0
+
+    # Uniform per-pixel scatter far beyond the residual window (no global
+    # offset can align it): every pixel must reset to length 1.
+    sp_far = jnp.asarray(np.stack(
+        [(xx * 7.3 + 11.0) % W + 0.5, (yy * 5.1 + 3.0) % H + 0.5],
+        axis=-1))
+    out = svgf_ops.reproject(frame, history, sp_far)
+    frac_reset = float((np.asarray(out["length"]) == 1.0).mean())
+    assert frac_reset > 0.9, frac_reset
