@@ -494,7 +494,8 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 mip = (buffers["textures"]["base_lod"][tidc]
                        + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
                 tex_rgb = sample_bilinear_lod(buffers["textures"], tex_id,
-                                              uv[:, 0], uv[:, 1], mip)
+                                              uv[:, 0], uv[:, 1], mip,
+                                              nearest_mip=True)
                 tex_mul = jnp.where((tex_id >= 0)[:, None], tex_rgb, 1.0)
             sky_radiance = sample_sky(buffers["sky"], buffers["sky_scale"],
                                       ray_d)
@@ -711,8 +712,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 tidc = jnp.maximum(tex_id, 0)
                 mip = (buffers["textures"]["base_lod"][tidc]
                        + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
+                # bounce >= 1 only (bounce 0 is the aniso branch): nearest
+                # mip halves the gather-start latency; popping is
+                # invisible in indirect light.
                 return sample_bilinear_lod(buffers["textures"], tex_id,
-                                           uv[:, 0], uv[:, 1], mip)
+                                           uv[:, 0], uv[:, 1], mip,
+                                           nearest_mip=True)
 
             def aniso_tex(_):
                 # Cone ellipse axes on the surface (RT Gems ch.20 / reference

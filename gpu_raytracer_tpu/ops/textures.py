@@ -92,13 +92,22 @@ def _fetch(textures, offset, x, y, w, h):
     return srgb_to_linear(texel)
 
 
-def sample_bilinear_lod(textures, texture_id, u, v, lod):
+def sample_bilinear_lod(textures, texture_id, u, v, lod, nearest_mip=False):
     """Trilinear sample: bilinear at floor(lod) and ceil(lod), blended.
     texture_id: (R,) int32 (callers mask id < 0 themselves);
-    u, v: (R,) wrap-addressed; lod: (R,) float mip level."""
+    u, v: (R,) wrap-addressed; lod: (R,) float mip level.
+
+    nearest_mip=True skips the second mip's quad gather and samples
+    bilinearly at round(lod) — half the gather-start latency. Used by the
+    bounce >= 1 iso-cone taps (integrators/pathtracer.py): a full-wave
+    gather costs ~50-100 ms at 1080p and inter-mip popping is invisible
+    in indirect lighting (bounce 0 keeps the exact aniso/trilinear path
+    the reference's tex2DGrad provides)."""
     tid = jnp.maximum(texture_id, 0)
     max_mip = (textures["num_mips"][tid] - 1).astype(jnp.float32)
     lod = jnp.clip(lod, 0.0, max_mip)
+    if nearest_mip:
+        lod = jnp.round(lod)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_mip.astype(jnp.int32))
     f = (lod - l0)[:, None]
@@ -120,6 +129,8 @@ def sample_bilinear_lod(textures, texture_id, u, v, lod):
         c01, c11 = row[:, 6:9], row[:, 9:12]
         return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
 
+    if nearest_mip:
+        return bilinear(l0)
     return bilinear(l0) * (1 - f) + bilinear(l1) * f
 
 
