@@ -59,9 +59,22 @@ def ray_sort_order(ray_o, ray_d, t_max, scene_lo, scene_hi):
 
 def trace_sorted(trace_fn, ray_o, ray_d, t_max, scene_lo, scene_hi):
     """Run `trace_fn(o, d, t_max)` on coherence-sorted rays and un-sort the
-    result pytree (a NamedTuple of (R,) fields or a single (R,) array)."""
+    result pytree (a NamedTuple of (R,) fields or a single (R,) array).
+
+    Permutations apply through ONE packed row gather per direction: TPU
+    gathers are start-latency bound per ROW, not per byte (ops/vec.py), so
+    gathering a (R, 7) [o|d|tmax] pack costs one latency instead of
+    three, and the (R, K) result pack one instead of K. Int fields ride
+    as f32 lanes — exact for |v| <= 2^24, which covers leaf/tri/instance
+    ids (buffers._pack_wide_merged caps P below 2^24)."""
     order, inv = ray_sort_order(ray_o, ray_d, t_max, scene_lo, scene_hi)
-    out = trace_fn(ray_o[order], ray_d[order], t_max[order])
+    packed = jnp.concatenate([ray_o, ray_d, t_max[:, None]], axis=1)
+    sp = packed[order]
+    out = trace_fn(sp[:, 0:3], sp[:, 3:6], sp[:, 6])
     if hasattr(out, "_fields"):
-        return type(out)(*(f[inv] for f in out))
+        fields = list(out)
+        rp = jnp.stack([f.astype(jnp.float32) for f in fields], axis=1)
+        up = rp[inv]
+        return type(out)(*(up[:, i].astype(f.dtype)
+                           for i, f in enumerate(fields)))
     return out[inv]
