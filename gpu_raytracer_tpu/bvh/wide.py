@@ -165,7 +165,7 @@ def estimate_table_bytes(num_bvh2_nodes: int, num_tris: int,
     return (wide_nodes + leaf_rows) * ROW * 4
 
 
-def max_stack(wide: WideBVH, leaf_g=None) -> int:
+def max_stack(wide: WideBVH, leaf_g=None, node_only: bool = False) -> int:
     """Worst-case stack height the block-synchronous kernel can reach while
     traversing this wide tree (ops/pallas_wide.py pops one entry and pushes
     up to 8 per iteration; pushes past STACK_DEPTH are silently dropped, so
@@ -176,7 +176,14 @@ def max_stack(wide: WideBVH, leaf_g=None) -> int:
     while all m-1 siblings still sit below it. `leaf_g` gives the per-leaf
     continuation cost (0 for triangle rows; TLAS instance rows push RESTORE +
     BLAS root and then run the BLAS subtree). Returns 1 + g(root) — the root
-    itself is pushed before the loop starts."""
+    itself is pushed before the loop starts.
+
+    `node_only=True` bounds the FLAT leaf-postponing traversal order
+    (ops/pallas_gang._gang_flat_kernel): leaf children go to the bounded
+    leaf queue, so only interior children occupy the stack. Node pop order
+    is identical to the mixed order with leaves filtered out, so this
+    bound is exact for that kernel (and always <= the mixed bound —
+    pack_wide_merged asserts it rather than assuming it)."""
     n = wide.num_nodes
     g = np.zeros(n, np.int64)
     if leaf_g is None:
@@ -190,7 +197,7 @@ def max_stack(wide: WideBVH, leaf_g=None) -> int:
             r = int(r)
             if r >= 0:
                 child_g.append(int(g[r]))
-            elif r <= -2:
+            elif r <= -2 and not node_only:
                 child_g.append(int(leaf_g[-r - 2]))
         m = len(child_g)
         g[i] = max(m, (m - 1) + max(child_g)) if m else 0
@@ -304,4 +311,12 @@ def pack_wide_merged(wide: WideBVH, id_map: np.ndarray,
         rows[out[m], 1 + j] = ids.astype(np.float32)
         rows[out[m], 16 + j * 9: 16 + j * 9 + 9] = \
             tri_geo_world_leaf[firsts[m] + j]
-    return {"nodes": nodes, "rows": rows, "max_stack": max_stack(wide)}
+    # The flat gang kernel clamps node pushes at STACK_DEPTH as a belt;
+    # make its safety a CHECKED pack-time property, not an argument: the
+    # node-only (leaf-postponing) occupancy bound must be covered by the
+    # mixed bound the packer advertises (advisor round-4 finding).
+    ms_mixed = max_stack(wide)
+    ms_flat = max_stack(wide, node_only=True)
+    assert ms_flat <= ms_mixed, (ms_flat, ms_mixed)
+    return {"nodes": nodes, "rows": rows, "max_stack": ms_mixed,
+            "max_stack_flat": ms_flat}

@@ -175,9 +175,19 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     # and the big seq gathers collapse to scalars (pmj.pmj_random2).
     draw2 = rng.make_draw2(buffers.get("sampler"), width, seed, config.sampler,
                            scalar_tables=config.num_bounces <= 12)
+    # Under SVGF/TAA the per-pixel filter jitter is replaced by a
+    # FRAME-CONSTANT Halton point cycling with the frame index — TAA's
+    # neighborhood clamp is designed around whole-frame jitter (reference:
+    # Camera.h:26-29, taa_halton_{x,y} tables indexed sample_index & 3).
+    jitter_override = None
+    if config.enable_svgf:
+        hs = jnp.asarray(sample_index, jnp.int32) & 3
+        jitter_override = jnp.stack([
+            jnp.asarray([0.3, 0.7, 0.2, 0.8], jnp.float32)[hs],
+            jnp.asarray([0.2, 0.8, 0.7, 0.3], jnp.float32)[hs]])
     ray_o, ray_d = generate_primary_rays(
         camera, pixel_index, width, sample_index, config.reconstruction_filter,
-        seed, draw2=draw2)
+        seed, jitter_override=jitter_override, draw2=draw2)
 
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
@@ -320,10 +330,17 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 trace_closest_stream,
             )
 
-            hit = trace_closest_stream(
+            hit, truncated = trace_closest_stream(
                 buffers["wide_stream"], ray_o, ray_d,
-                jnp.where(alive, INF, jnp.float32(0.0)))
+                jnp.where(alive, INF, jnp.float32(0.0)),
+                with_residual=True)
             hit = _decode_wide_hit(hit)
+            # Beyond-cap portal truncation (> MAX_PASSES * K_PORTALS
+            # portals on one lane) must never render silently-wrong
+            # geometry: poison the lane like a NaN pixel (the magenta
+            # diagnostic at the end of render_wave).
+            radiance = jnp.where((alive & truncated)[:, None],
+                                 jnp.float32(jnp.nan), radiance)
         elif use_wide:
             if static_first:
                 hit = trace_closest_wide(
@@ -960,13 +977,19 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                     "has_lights", "has_textures", "has_media",
                                     "use_pallas", "use_wide",
                                     "use_gather_shade", "use_stream",
-                                    "mat_types"))
+                                    "mat_types", "canonical_order"))
 def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                     vp_prev, taa_prev, is_first, config, width,
                     height, seed, has_lights, has_textures, has_media,
                     use_pallas, use_wide, mat_types,
-                    use_gather_shade=False, use_stream=False):
-    """Trace + SVGF + TAA as one program (see render_frame_denoised)."""
+                    use_gather_shade=False, use_stream=False,
+                    canonical_order=True):
+    """Trace + SVGF + TAA as one program (see render_frame_denoised).
+
+    `canonical_order` asserts that pixel_index IS tile_order(width, height):
+    only then is the reshape/transpose untile a valid inverse. Callers
+    passing any other permutation must set it False to get the scatter
+    fallback (untile would silently scramble the image)."""
     from gpu_raytracer_tpu.ops import svgf as svgf_ops
     from gpu_raytracer_tpu.ops import taa as taa_ops
 
@@ -984,7 +1007,7 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
     # reshape is HBM-bandwidth.
     from gpu_raytracer_tpu.ops.camera_rays import can_untile, untile
 
-    if can_untile(width, height):
+    if canonical_order and can_untile(width, height):
         def img(x):
             return untile(x, width, height)
     else:

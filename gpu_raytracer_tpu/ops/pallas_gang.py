@@ -564,6 +564,11 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
             for g in range(GANGS):
                 pk = cnt_pk[g, 0]
                 kl = pk & 15
+                # The clamp is an unreachable belt: pack_wide_merged
+                # asserts the node-only occupancy bound (max_stack
+                # node_only=True) <= the advertised max_stack, which
+                # buffers.py verifies against STACK_DEPTH before
+                # selecting this kernel.
                 kn = jnp.minimum(pk >> 4, STACK_DEPTH - sps[g])
                 s0 = sps[g]
                 l0 = lqs[g]

@@ -566,26 +566,41 @@ def _trace_stream(resident, pages, portal_page, portal_root,
     return best_t[:R0], best_tri[:R0], residual[:R0]
 
 
-def trace_closest_stream(tables: dict, ray_o, ray_d, t_max, interpret=False):
+def trace_closest_stream(tables: dict, ray_o, ray_d, t_max, interpret=False,
+                         with_residual=False):
     """Closest-hit streaming traversal. Returns HitInstanced with inst=-1
     (merged tables; callers remap through the prim map) and u=v=0 (the
-    shade stage re-derives them, as with the gang kernel)."""
+    shade stage re-derives them, as with the gang kernel).
+
+    `with_residual=True` additionally returns the (R,) bool mask of lanes
+    whose portal enumeration exceeded MAX_PASSES * K_PORTALS — their hit
+    may be truncated (a nearer hit behind an unvisited portal). The
+    integrator poisons those lanes magenta like NaN pixels rather than
+    rendering silently-wrong geometry (advisor round-4 finding)."""
     from gpu_raytracer_tpu.ops.traverse import HitInstanced
 
-    t, tri, _ = _trace_stream(tables["resident"], tables["pages"],
-                              tables["portal_page"], tables["portal_root"],
-                              ray_o, ray_d, t_max, any_hit=False,
-                              interpret=interpret)
+    t, tri, residual = _trace_stream(
+        tables["resident"], tables["pages"],
+        tables["portal_page"], tables["portal_root"],
+        ray_o, ray_d, t_max, any_hit=False, interpret=interpret)
     R = ray_o.shape[0]
     zero = jnp.zeros((R,), jnp.float32)
-    return HitInstanced(t=t, tri=tri, inst=jnp.full((R,), -1, jnp.int32),
-                        u=zero, v=zero)
+    hit = HitInstanced(t=t, tri=tri, inst=jnp.full((R,), -1, jnp.int32),
+                       u=zero, v=zero)
+    if with_residual:
+        return hit, residual > 0
+    return hit
 
 
 def trace_any_stream(tables: dict, ray_o, ray_d, t_max, interpret=False):
-    """Any-hit streaming traversal -> (R,) bool occlusion."""
-    t, tri, _ = _trace_stream(tables["resident"], tables["pages"],
-                              tables["portal_page"], tables["portal_root"],
-                              ray_o, ray_d, t_max, any_hit=True,
-                              interpret=interpret)
-    return tri >= 0
+    """Any-hit streaming traversal -> (R,) bool occlusion.
+
+    Lanes whose portal enumeration exceeded the MAX_PASSES * K_PORTALS cap
+    (residual) have UNKNOWN occlusion: report them occluded — the shadow
+    sample is dropped (a little energy lost) instead of leaking light
+    through unvisited geometry (advisor round-4 finding)."""
+    t, tri, residual = _trace_stream(
+        tables["resident"], tables["pages"],
+        tables["portal_page"], tables["portal_root"],
+        ray_o, ray_d, t_max, any_hit=True, interpret=interpret)
+    return (tri >= 0) | (residual > 0)

@@ -95,9 +95,18 @@ def windowed_fetch(img, x0, y0, win=REPROJECT_WIN):
     dx = x0 - cols
     dy = y0 - rows_i
     P = REPROJECT_MAX_SHIFT
-    gx = jnp.clip(jnp.round(jnp.mean(dx.astype(jnp.float32))),
+    # Global alignment = MEDIAN of a subsampled displacement grid. The
+    # mean is not robust: pixels with no history (the primary hit was a
+    # light source / a miss write position_prev = 0) project to wild
+    # off-screen displacements, and ~10% outliers can drag a mean
+    # alignment several pixels away from the true pan, emptying the
+    # residual window for every real pixel. Any gx keeps the
+    # miss-or-exact contract; the median just maximises how many pixels
+    # bind. Subsampling (8x8) keeps the sort trivial (32k elements at
+    # 1080p) — a pan is global by definition.
+    gx = jnp.clip(jnp.round(jnp.median(dx[::8, ::8].astype(jnp.float32))),
                   -P, P).astype(jnp.int32)
-    gy = jnp.clip(jnp.round(jnp.mean(dy.astype(jnp.float32))),
+    gy = jnp.clip(jnp.round(jnp.median(dy[::8, ::8].astype(jnp.float32))),
                   -P, P).astype(jnp.int32)
     padded = jnp.pad(img, ((P, P), (P, P), (0, 0)), mode="edge")
     aligned = jax.lax.dynamic_slice(padded,
@@ -105,7 +114,18 @@ def windowed_fetch(img, x0, y0, win=REPROJECT_WIN):
                                     (H, W, C))
     rx = dx - gx
     ry = dy - gy
-    in_window = (jnp.abs(rx) <= win) & (jnp.abs(ry) <= win)
+    # Miss-or-exact contract: besides the residual window, the READ must
+    # stay inside the frame after global alignment. (cols+rx, rows_i+ry)
+    # is the aligned-space read position — if it crosses the border, the
+    # shifted view would return an edge-clamped NEIGHBOR with ok=True
+    # (e.g. a pixel wanting img[5] with residual -2 at column 0 got
+    # img[6]). Same for the absolute target (x0, y0): when it is outside
+    # the frame the padded copy edge-clamps. Both degrade to history
+    # misses instead, exactly like out-of-window motion.
+    in_window = ((jnp.abs(rx) <= win) & (jnp.abs(ry) <= win)
+                 & (cols + rx >= 0) & (cols + rx < W)
+                 & (rows_i + ry >= 0) & (rows_i + ry < H)
+                 & (x0 >= 0) & (x0 < W) & (y0 >= 0) & (y0 < H))
     # Direct (2*win+1)^2 shifted-view select. NOT separable into a row
     # pass then a column pass: the row residual varies per pixel, so a
     # column shift of a row-selected intermediate would read a NEIGHBOR
