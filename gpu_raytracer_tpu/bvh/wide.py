@@ -282,6 +282,40 @@ def pack_wide_scene(blas_wides: list, tri_bases: list,
     return {"nodes": nodes, "rows": rows, "max_stack": int(required_stack)}
 
 
+def _assert_sibling_contiguous(child_ref: np.ndarray) -> None:
+    """Verify collapse_wide's allocation invariant the flat gang kernel's
+    sibling-cursor entries rely on: per node, interior-child ids (and leaf
+    row ids) are base + rank-in-slot-order."""
+    ref = np.asarray(child_ref)
+    if ref.dtype != np.int64 and ref.dtype != np.int32:
+        ref = ref.astype(np.int64)
+    big = np.int64(1) << 40
+    is_n = ref >= 0
+    rank_n = np.cumsum(is_n, axis=1) - is_n
+    base_n = np.min(np.where(is_n, ref, big), axis=1)
+    assert np.all(~is_n | (ref == base_n[:, None] + rank_n)), \
+        "wide node interior children not sibling-contiguous"
+    lid = -ref - 2
+    is_l = ref <= -2
+    rank_l = np.cumsum(is_l, axis=1) - is_l
+    base_l = np.min(np.where(is_l, lid, big), axis=1)
+    assert np.all(~is_l | (lid == base_l[:, None] + rank_l)), \
+        "wide node leaf rows not sibling-contiguous"
+
+
+def _wide_depth(child_ref: np.ndarray) -> int:
+    """Max root-to-node depth of the wide tree (child ids > parent ids, so
+    one forward sweep suffices)."""
+    ref = np.asarray(child_ref).astype(np.int64)
+    n = ref.shape[0]
+    depth = np.zeros(n, np.int64)
+    for i in range(n):
+        kids = ref[i][ref[i] >= 0]
+        if kids.size:
+            depth[kids] = depth[i] + 1
+    return int(depth.max(initial=0)) + 1
+
+
 def pack_wide_merged(wide: WideBVH, id_map: np.ndarray,
                      tri_geo_world_leaf: np.ndarray) -> dict:
     """Pack ONE world-space wide BVH over the whole scene (static-scene
@@ -318,5 +352,12 @@ def pack_wide_merged(wide: WideBVH, id_map: np.ndarray,
     ms_mixed = max_stack(wide)
     ms_flat = max_stack(wide, node_only=True)
     assert ms_flat <= ms_mixed, (ms_flat, ms_mixed)
+    # Sibling-cursor invariants for the flat gang kernel
+    # (ops/pallas_gang._gang_flat_kernel): every node's interior children
+    # (and leaf rows) occupy CONSECUTIVE ids in slot order, and the packed
+    # entry stack holds at most one live entry per ancestor, so tree
+    # depth + 1 bounds its occupancy.
+    _assert_sibling_contiguous(wide.child_ref)
+    depth = _wide_depth(wide.child_ref)
     return {"nodes": nodes, "rows": rows, "max_stack": ms_mixed,
-            "max_stack_flat": ms_flat}
+            "max_stack_flat": ms_flat, "entry_stack": depth + 1}

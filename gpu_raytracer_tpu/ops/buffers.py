@@ -571,7 +571,8 @@ def _pack_wide_merged(scene: Scene, geo: GeometryCache, tri_geo: np.ndarray,
     n = packed["nodes"].shape[0] if packed else 0
     l = packed["rows"].shape[0] if packed else 0
     if (packed is not None and pallas_wide.supports(n, l)
-            and packed["max_stack"] <= pallas_wide.STACK_DEPTH):
+            and packed["max_stack"] <= pallas_wide.STACK_DEPTH
+            and packed["entry_stack"] <= pallas_wide.STACK_DEPTH):
         prim_map = (prim_inst << 22) | prim_tri
         return {"tables": (packed["nodes"], packed["rows"]),
                 "prim_map": prim_map}

@@ -351,7 +351,7 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref,
                       t_out, tri_out, inst_out,
-                      stack_ref, leafq_ref):
+                      stack_ref, stackp_ref, leafq_ref, leafqp_ref):
     """FLAT single-BLAS variant (merged static-scene tables,
     buffers._pack_wide_merged): rays stay world-space for the whole
     traversal (no RESTORE/instance phases), node stacks hold ONLY interior
@@ -362,18 +362,25 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
     triangle loop runs only when enough leaf work has accumulated to keep
     all 8 gangs busy.
 
-    Closest-hit pushes use a CONTIGUOUS BLOCK store (round-4 redesign):
-    the per-iteration cost of this kernel is scalar-core bound — the
-    conditional push loop's 64 vreg->scalar extracts plus 128
-    select-indexed SMEM stores price at ~1.0 us of the ~1.35 us node
-    phase (tools/exp_gang_ablate.py). The single sorting network now
-    orders children [leaf far->near | node far->near | invalid] via
-    class-offset keys (leaf keys shifted by -16 in units of 1/8th scene
-    diameter, inv_diag_ref), so each destination's valid entries form one
-    contiguous run: all 8 refs store UNCONDITIONALLY at base+j (leafq)
-    and base+max(j-kl, 0) (stack). Garbage writes land at or above the
-    post-push top — overwritten by later pushes before any pop can read
-    them — and only the two counters need per-gang scalar arithmetic."""
+    Pushes are SIBLING-CURSOR entries (round-5 redesign): the per-
+    iteration cost of this kernel is scalar-core bound — round 4's
+    contiguous block pushes still paid 64 vreg->scalar extracts plus 128
+    SMEM stores per iteration (~1.0 us of the ~1.35 us node phase,
+    tools/exp_gang_ablate.py). collapse_wide allocates every node's
+    interior children (and leaf rows) at CONSECUTIVE ids in slot order
+    (asserted by pack_wide_merged), so the whole push collapses to one
+    packed 2-word entry per class per gang:
+
+      word0 = base_id | count << 24     word1 = 8x 4-bit offset nibbles
+
+    where the nibbles hold each hit child's allocation offset in
+    far->near order (the same class-grouped sorting network as round 4
+    computes them, swapping (key, offset) pairs). A pop consumes nibble
+    [count-1] (the nearest remaining child), decrements the count in
+    place, and drops the entry at zero — the traversal order is
+    BIT-IDENTICAL to the block-push kernel. Scalar work per node phase
+    drops from ~24 to ~9 ops/gang (4 extracts + 4 stores + counters);
+    the pop side pays +1 read +1 writeback."""
     N = num_nodes
     L = tab_ref.shape[0] - num_nodes
     SCRAP = STACK_DEPTH
@@ -386,7 +393,9 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
     dead = t_max <= 0.0  # padding / masked lanes
 
     for g in range(GANGS):
-        stack_ref[g, 0] = jnp.int32(0)  # root node per gang
+        # Packed root entry: base 0, count 1, offset nibble 0.
+        stack_ref[g, 0] = jnp.int32(1 << 24)
+        stackp_ref[g, 0] = jnp.int32(0)
 
     def cond(s):
         sps, lqs = s[0], s[1]
@@ -396,11 +405,13 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
         return total > 0
 
     def body(s):
-        (sps, lqs, best_t, best_tri, occ, iters) = s
+        (sps, lqs, qrows, best_t, best_tri, occ, iters) = s
 
+        # Trigger on queued leaf ROWS (qrows), not entries: an entry
+        # packs 1..8 rows and the tri phase consumes one ROW per gang.
         trig = jnp.int32(0)
         for g in range(GANGS):
-            trig = trig + ((lqs[g] >= QTRIG)
+            trig = trig + ((qrows[g] >= QTRIG)
                            | ((sps[g] == 0) & (lqs[g] > 0))).astype(jnp.int32)
 
         gang_col = jax.lax.broadcasted_iota(jnp.int32, (GANGS, 1), 0)
@@ -408,15 +419,23 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
         # ---- tri phase: each gang pops ONE queued leaf row and tests its
         # (up to LEAF_CAP) triangles against the gang's 128 rays ----
         def tri_fn(args):
-            sps, lqs, best_t, best_tri, occ = args
-            vs, nlqs = [], []
+            sps, lqs, qrows, best_t, best_tri, occ = args
+            vs, nlqs, nqrows = [], [], []
             for g in range(GANGS):
                 has = lqs[g] > 0
                 qm = jnp.where(has, lqs[g] - 1, 0)
-                rid = jnp.where(has, leafq_ref[g, qm], jnp.int32(-1))
+                w0 = leafq_ref[g, qm]
+                w1 = leafqp_ref[g, qm]
+                kl = w0 >> 24
+                nib = (w1 >> (4 * jnp.clip(kl - 1, 0, 7))) & 15
+                rid = jnp.where(has, (w0 & 0xFFFFFF) + nib, jnp.int32(-1))
+                # Consume the nearest remaining row; drop the entry at 0.
+                leafq_ref[g, qm] = w0 - (1 << 24)
                 vs.append(rid)
-                nlqs.append(qm)
+                nlqs.append(jnp.where(has & (kl > 1), lqs[g], qm))
+                nqrows.append(qrows[g] - has.astype(jnp.int32))
             lqs = nlqs
+            qrows = nqrows
 
             rows = []
             for g in range(GANGS):
@@ -472,19 +491,27 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
                 for g in range(GANGS):
                     sps[g] = jnp.where(done[g, 0] > 0, 0, sps[g])
                     lqs[g] = jnp.where(done[g, 0] > 0, 0, lqs[g])
-            return (sps, lqs, best_t, best_tri, occ)
+                    qrows[g] = jnp.where(done[g, 0] > 0, 0, qrows[g])
+            return (sps, lqs, qrows, best_t, best_tri, occ)
 
         # ---- node phase: slab-test each gang's 8 children; node children
         # push onto the gang's stack, leaf children onto its leaf queue ----
         def node_fn(args):
-            sps, lqs, best_t, best_tri, occ = args
+            sps, lqs, qrows, best_t, best_tri, occ = args
             vs, nsps = [], []
             for g in range(GANGS):
                 has = sps[g] > 0
                 spm = jnp.where(has, sps[g] - 1, 0)
-                v = jnp.where(has, stack_ref[g, spm], jnp.int32(IDLE))
+                w0 = stack_ref[g, spm]
+                w1 = stackp_ref[g, spm]
+                kn = w0 >> 24
+                nib = (w1 >> (4 * jnp.clip(kn - 1, 0, 7))) & 15
+                v = jnp.where(has, (w0 & 0xFFFFFF) + nib, jnp.int32(IDLE))
+                # Consume the nearest remaining child in place; the entry
+                # survives (sp unchanged) until its count reaches zero.
+                stack_ref[g, spm] = w0 - (1 << 24)
                 vs.append(v)
-                nsps.append(spm)
+                nsps.append(jnp.where(has & (kn > 1), sps[g], spm))
             sps = nsps
 
             rows = []
@@ -501,7 +528,17 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
             cull_t = jnp.where(occ > 0, 0.0, t_max) if any_hit else best_t
             inv_diag = inv_diag_ref[0]
 
-            keys, refs = [], []
+            # Allocation bases and per-class ranks (over ALL children, hit
+            # or not — ids were assigned in slot order at pack time).
+            BIG = jnp.int32(1 << 24)
+            run_n = jnp.zeros((GANGS, 1), jnp.int32)
+            run_l = jnp.zeros((GANGS, 1), jnp.int32)
+            node_base = jnp.full((GANGS, 1), BIG)
+            leaf_base = jnp.full((GANGS, 1), BIG)
+            kl_v = jnp.zeros((GANGS, 1), jnp.int32)
+            kn_v = jnp.zeros((GANGS, 1), jnp.int32)
+
+            keys, offs = [], []
             for c in range(8):
                 bx0 = _bc(blk[:, c * 6 + 0:c * 6 + 1])
                 by0 = _bc(blk[:, c * 6 + 1:c * 6 + 2])
@@ -526,20 +563,32 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
                                          jnp.maximum(tn, 0.0), jnp.inf),
                                axis=1, keepdims=True)  # (8, 1)
                 ref = blk[:, 48 + c:49 + c].astype(jnp.int32)       # (8, 1)
+                is_n = ref >= 0
+                is_l = ref <= -2
+                lid = -ref - 2
+                node_base = jnp.minimum(node_base, jnp.where(is_n, ref, BIG))
+                leaf_base = jnp.minimum(leaf_base, jnp.where(is_l, lid, BIG))
+                off = jnp.where(is_l, run_l, run_n)
+                run_n = run_n + is_n.astype(jnp.int32)
+                run_l = run_l + is_l.astype(jnp.int32)
                 take = (ref != -1) & (tmin < jnp.inf)
                 # Class-grouped ascending key: leaves in [-24, -16),
                 # nodes in [-8, 0], invalid +inf — one sort yields
                 # [leaf far->near | node far->near | invalid] (far
-                # first: LIFO tops pop nearest). Distances are in
-                # 1/8th-diameter units so the -16 class offset costs
-                # < 2^-20 diameters of ordering precision. Any-hit uses
-                # the same grouping: near-first raises the chance the
-                # next tri phase finds the occluder and drains the gang.
+                # first within each class: the entry's nibbles are
+                # consumed highest-first, so pops see nearest first).
+                # Distances are in 1/8th-diameter units so the -16
+                # class offset costs < 2^-20 diameters of ordering
+                # precision. Any-hit uses the same grouping: near-first
+                # raises the chance the next tri phase finds the
+                # occluder and drains the gang.
                 tn8 = -jnp.minimum(tmin * inv_diag, 8.0)
                 keys.append(jnp.where(
-                    take, tn8 + jnp.where(ref <= -2, -16.0, 0.0),
+                    take, tn8 + jnp.where(is_l, -16.0, 0.0),
                     jnp.inf))
-                refs.append(jnp.where(take, ref, jnp.int32(-1)))
+                offs.append(jnp.where(take, off, 0))
+                kl_v = kl_v + (take & is_l).astype(jnp.int32)
+                kn_v = kn_v + (take & is_n).astype(jnp.int32)
 
             for a, b in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
                          (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (1, 5),
@@ -548,55 +597,66 @@ def _gang_flat_kernel(any_hit, num_nodes, count_iters, inv_diag_ref, tab_ref,
                 swap = keys[a] > keys[b]
                 ka = jnp.where(swap, keys[b], keys[a])
                 kb = jnp.where(swap, keys[a], keys[b])
-                ra = jnp.where(swap, refs[b], refs[a])
-                rb = jnp.where(swap, refs[a], refs[b])
+                ra = jnp.where(swap, offs[b], offs[a])
+                rb = jnp.where(swap, offs[a], offs[b])
                 keys[a], keys[b] = ka, kb
-                refs[a], refs[b] = ra, rb
+                offs[a], offs[b] = ra, rb
 
-            # Contiguous block store (see docstring). Valid leafq entries
-            # are sorted slots [0, kl); valid stack entries [kl, kl+kn).
-            kl_v = (refs[0] <= -2).astype(jnp.int32)
-            kn_v = (refs[0] >= 0).astype(jnp.int32)
-            for c in range(1, 8):
-                kl_v = kl_v + (refs[c] <= -2).astype(jnp.int32)
-                kn_v = kn_v + (refs[c] >= 0).astype(jnp.int32)
-            cnt_pk = kl_v + kn_v * 16
+            # Build the packed sibling-cursor words (all vector math):
+            # sorted positions [0, kl) are leaf offsets, [kl, kl+kn) node
+            # offsets. Leaf nibbles land at 4*j (static shifts); node
+            # nibbles at 4*(j - kl) (per-gang dynamic shift).
+            w1l = jnp.zeros((GANGS, 1), jnp.int32)
+            w1n = jnp.zeros((GANGS, 1), jnp.int32)
+            for j in range(8):
+                jj = jnp.int32(j)
+                w1l = w1l | jnp.where(jj < kl_v, offs[j] << (4 * j), 0)
+                in_node = (jj >= kl_v) & (jj < kl_v + kn_v)
+                sh = 4 * jnp.clip(jj - kl_v, 0, 7)
+                w1n = w1n | jnp.where(in_node, offs[j] << sh, 0)
+            w0n = jnp.where(kn_v > 0, node_base, 0) | (kn_v << 24)
+            w0l = jnp.where(kl_v > 0, leaf_base, 0) | (kl_v << 24)
+
+            # One 2-word entry per class per gang, stored UNCONDITIONALLY
+            # (a count-0 entry lands at the top-of-stack slot and is
+            # overwritten before any pop can read it). Entry occupancy is
+            # bounded by the wide-tree DEPTH (each live ancestor holds at
+            # most one entry) — pack_wide_merged asserts depth + 1 <=
+            # STACK_DEPTH; min(s0, SCRAP) stays as an unreachable belt.
             for g in range(GANGS):
-                pk = cnt_pk[g, 0]
-                kl = pk & 15
-                # The clamp is an unreachable belt: pack_wide_merged
-                # asserts the node-only occupancy bound (max_stack
-                # node_only=True) <= the advertised max_stack, which
-                # buffers.py verifies against STACK_DEPTH before
-                # selecting this kernel.
-                kn = jnp.minimum(pk >> 4, STACK_DEPTH - sps[g])
                 s0 = sps[g]
                 l0 = lqs[g]
-                for j in range(8):
-                    r = refs[j][g, 0]
-                    # Ascending j: leaf slots j < kl write garbage at
-                    # stack[s0] first, node slot j == kl overwrites it;
-                    # invalid slots land above the new top.
-                    leafq_ref[g, jnp.minimum(l0 + j, QSCRAP)] = -r - 2
-                    stack_ref[g, jnp.minimum(
-                        s0 + jnp.maximum(j - kl, 0), SCRAP)] = r
-                sps[g] = s0 + kn
+                w0n_g = w0n[g, 0]
+                w1n_g = w1n[g, 0]
+                w0l_g = w0l[g, 0]
+                w1l_g = w1l[g, 0]
+                stack_ref[g, jnp.minimum(s0, SCRAP)] = w0n_g
+                stackp_ref[g, jnp.minimum(s0, SCRAP)] = w1n_g
+                leafq_ref[g, jnp.minimum(l0, QSCRAP)] = w0l_g
+                leafqp_ref[g, jnp.minimum(l0, QSCRAP)] = w1l_g
+                kn_g = w0n_g >> 24
+                kl_g = w0l_g >> 24
+                sps[g] = s0 + (kn_g > 0).astype(jnp.int32)
                 # LEAFQ_DEPTH = QTRIG + 7 makes overflow impossible: node
-                # phases only run while every gang holds < QTRIG leaves.
-                lqs[g] = l0 + kl
-            return (sps, lqs, best_t, best_tri, occ)
+                # phases only run while every gang holds < QTRIG rows,
+                # and entries <= rows.
+                lqs[g] = l0 + (kl_g > 0).astype(jnp.int32)
+                qrows[g] = qrows[g] + kl_g
+            return (sps, lqs, qrows, best_t, best_tri, occ)
 
-        sps, lqs, best_t, best_tri, occ = jax.lax.cond(
-            trig > 0, tri_fn, node_fn, (sps, lqs, best_t, best_tri, occ))
+        sps, lqs, qrows, best_t, best_tri, occ = jax.lax.cond(
+            trig > 0, tri_fn, node_fn,
+            (sps, lqs, qrows, best_t, best_tri, occ))
         # iters packs (node_iters, tri_iters) as node*2^16 + tri.
         iters = iters + jnp.where(trig > 0, 1, 1 << 16)
-        return (sps, lqs, best_t, best_tri, occ, iters)
+        return (sps, lqs, qrows, best_t, best_tri, occ, iters)
 
     init = ([jnp.int32(1)] * GANGS, [jnp.int32(0)] * GANGS,
+            [jnp.int32(0)] * GANGS,
             t_max, jnp.full(SHAPE, -1, jnp.int32),
             jnp.zeros(SHAPE, jnp.int32), jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)
-    (_, _, best_t, best_tri, occ, iters) = out
+    (_, _, _, best_t, best_tri, occ, iters) = out
 
     if any_hit:
         hit_mask = occ > 0
@@ -651,7 +711,12 @@ def _trace_gang(nodes, rows, ray_o, ray_d, t_max, any_hit=False, flat=False,
     if flat:
         kernel = partial(_gang_flat_kernel, any_hit, nodes.shape[0],
                          count_iters)
+        # Packed sibling-cursor entries: base ids must fit in 24 bits
+        # (word0 = base | count << 24).
+        assert nodes.shape[0] < (1 << 24) and rows.shape[0] < (1 << 24)
         scratch = [pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
+                   pltpu.SMEM((GANGS, STACK_DEPTH + 1), jnp.int32),
+                   pltpu.SMEM((GANGS, LEAFQ_DEPTH + 1), jnp.int32),
                    pltpu.SMEM((GANGS, LEAFQ_DEPTH + 1), jnp.int32)]
         # 1/diameter of the root's child union: the kernel's class-grouped
         # sort keys measure distance in 1/8th-diameter units (see

@@ -95,6 +95,56 @@ def test_flat_any_hit_matches(cornell_wave):  # noqa: F811
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_flat_deep_tree_matches_mixed_kernel():
+    """Sibling-cursor entries on a DEEP merged tree (1500-tri soup, many
+    stacked entry levels): the flat kernel must return bit-identical hits
+    to the mixed gang kernel, whose traversal the brute-force oracle tests
+    cover. Exercises multi-level entry push/consume/drop and the packed
+    leaf-queue nibbles beyond cornell's shallow tree."""
+    from gpu_raytracer_tpu.bvh import wide as wide_mod
+    from gpu_raytracer_tpu.bvh.sah import build_bvh2
+    from gpu_raytracer_tpu.scene.types import TriangleData
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    p0 = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.08, (n, 3)).astype(np.float32)
+    world = np.stack([p0, p0 + e1, p0 + e2], axis=1)
+    bvh = build_bvh2(TriangleData(world), max_leaf_size=wide_mod.LEAF_CAP)
+    wideb = wide_mod.collapse_wide(bvh)
+    geo = np.concatenate([world[:, 0], world[:, 1] - world[:, 0],
+                          world[:, 2] - world[:, 0]], axis=-1)
+    packed = wide_mod.pack_wide_merged(wideb, bvh.indices,
+                                       geo[bvh.indices].astype(np.float32))
+    assert packed["entry_stack"] >= 4  # actually deep
+    nodes = jnp.asarray(packed["nodes"])
+    rows = jnp.asarray(packed["rows"])
+
+    R = 2048
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((R,), np.inf, jnp.float32)
+
+    ref = pg.trace_closest_gang(nodes, rows, o, d, tmax, interpret=True)
+    out = pg.trace_closest_gang(nodes, rows, o, d, tmax, flat=True,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    both = np.asarray(ref.tri) >= 0
+    assert both.mean() > 0.1  # the wave genuinely hits
+    np.testing.assert_array_equal(np.asarray(ref.t)[both],
+                                  np.asarray(out.t)[both])
+
+    # Any-hit agreement on finite shadow-style rays.
+    tshort = jnp.full((R,), 1.0, jnp.float32)
+    ra = pg.trace_any_gang(nodes, rows, o, d, tshort, interpret=True)
+    oa = pg.trace_any_gang(nodes, rows, o, d, tshort, flat=True,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(oa))
+
+
 def test_incoherent_wave_matches(cornell_wave):  # noqa: F811
     """Random origins/directions: gangs pop DIFFERENT entry types in the
     same iteration (node/leaf/instance mixes) — the masked-phase paths."""
