@@ -149,7 +149,7 @@ def _interpolate_hit(tris, irow, hit):
                                     "has_media", "use_pallas",
                                     "use_pallas_shade", "use_wide",
                                     "use_gather_shade", "use_stream",
-                                    "mat_types"))
+                                    "mat_types", "compact_tiers"))
 def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 sample_index, config: GPUConfig, width: int, seed: int = 0,
                 has_lights: bool = True, with_stats: bool = False,
@@ -157,7 +157,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 has_media: bool = False, use_pallas: bool = False,
                 use_pallas_shade: bool = False, use_wide: bool = False,
                 use_gather_shade: bool = False, use_stream: bool = False,
-                valid_mask=None, mat_types=None):
+                valid_mask=None, mat_types=None, compact_tiers=()):
     """Trace one sample for one wave of pixels. Returns (R, 3) radiance.
 
     The whole per-sample pipeline of the reference's render() loop
@@ -306,14 +306,24 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         return hit._replace(tri=jnp.where(ok, code & 0x3FFFFF, hit.tri),
                             inst=jnp.where(ok, code >> 22, hit.inst))
 
-    def bounce_body(bounce, carry, static_first=False):
+    _closure_pixel_index = pixel_index
+
+    def bounce_body(bounce, carry, static_first=False, pix=None):
         """One bounce. `static_first=True` traces the PEELED bounce-0 call:
         `first`-gated logic resolves at trace time, the primary wave skips
         the coherence sort (it arrives pre-tiled by screen position —
         re-sorting it measured 188 ms vs 38 ms bare at 522k rays), and the
-        G-buffer AOVs are returned out-of-carry."""
+        G-buffer AOVs are returned out-of-carry.
+
+        `pix` overrides the closure pixel ids (same values, COMPACTED
+        order) so the round-5 late-bounce compaction wrapper below can run
+        this body at a narrower static width: every array below sizes off
+        the carry, never off the closure R."""
         (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
          medium_id, cone_width, direct, rays_traced, *_tail) = carry
+        pixel_index = pix if pix is not None else _closure_pixel_index
+        R = ray_o.shape[0]
+        cone_angle = jnp.broadcast_to(camera["pixel_spread_angle"], (R,))
         rr_alb = _tail[0] if demodulate else None
         # reference's direct-lighting bounces (bounce <= 1)
         early = True if static_first else (bounce <= 1)
@@ -491,8 +501,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
             if has_textures and config.enable_mipmapping:
                 # Isotropic ray-cone LOD (bounce >= 1 policy; the aniso
                 # gradients are bounce-0-only, see the XLA body below).
+                # tex id + lod bias come from the BAKED instance-row cols
+                # (buffers._pack_instances round 5) so neither the
+                # materials row gather nor the base_lod gather issues 2M
+                # row starts here — XLA DCEs both.
                 cone_width = cone_width + cone_angle * jnp.where(alive, hit.t, 0.0)
-                tex_id = mrow[:, 15].astype(jnp.int32)
+                tex_id = irow[:, 25].astype(jnp.int32)
                 e1w = _affine_dir_rows(irow[:, 0:12], e1_obj)
                 e2w = _affine_dir_rows(irow[:, 0:12], e2_obj)
                 double_area_world = jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
@@ -507,12 +521,12 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                    / jnp.maximum(double_area_world, 1e-20))
                 lod_cone = jnp.abs(cone_width / jnp.minimum(
                     jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
-                tidc = jnp.maximum(tex_id, 0)
-                mip = (buffers["textures"]["base_lod"][tidc]
+                mip = (irow[:, 26]
                        + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
                 tex_rgb = sample_bilinear_lod(buffers["textures"], tex_id,
                                               uv[:, 0], uv[:, 1], mip,
-                                              nearest_mip=True)
+                                              nearest_mip=True,
+                                              max_mip=irow[:, 28])
                 tex_mul = jnp.where((tex_id >= 0)[:, None], tex_rgb, 1.0)
             sky_radiance = sample_sky(buffers["sky"], buffers["sky_scale"],
                                       ray_d)
@@ -609,7 +623,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                     survival = jnp.clip(jnp.max(rr_basis, axis=-1),
                                         0.0, 1.0)
                     scatters = scatters & (u_rr <= survival)
-                mat_medium = mrow[:, 16].astype(jnp.int32)
+                mat_medium = irow[:, 27].astype(jnp.int32)
                 medium_id = jnp.where(
                     new_alive & out["is_transmission"],
                     jnp.where(entering, mat_medium, -1), medium_id)
@@ -936,9 +950,60 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
         carry, aovs_first = bounce_body(jnp.int32(0), carry,
                                         static_first=True)
 
+        # ---- round-5 late-bounce wavefront compaction ----
+        # The reference's material queues make a bounce with few live rays
+        # near-free (Pathtracer.cu:426-462 compaction + persistent fetch);
+        # the one-program XLA design pays full-width glue at every bounce
+        # regardless of live count (~0.9 s/bounce at 1080p, measured with
+        # tools/exp_bounce_ablate.py). TPU equivalent: for each static tier
+        # divisor D, when the live count fits in ceil(R/D), lax.cond into a
+        # copy of the SAME bounce body traced at the narrower width —
+        # live lanes are cumsum-packed, the body runs compacted, results
+        # scatter back. Never biased: the full body runs otherwise.
+        lane_ids = jnp.arange(R, dtype=jnp.int32)
+
+        def _compact_step(bounce, carry, cap):
+            alive_f = carry[4]
+            slot = jnp.where(alive_f,
+                             jnp.cumsum(alive_f.astype(jnp.int32)) - 1, cap)
+            idx = jnp.zeros(cap, jnp.int32).at[slot].set(lane_ids,
+                                                         mode="drop")
+            valid = jnp.zeros(cap, jnp.bool_).at[slot].set(True, mode="drop")
+
+            def gath(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == R:
+                    return x[idx]
+                return x
+
+            cc = tuple(gath(x) for x in carry)
+            # Padding slots duplicate lane 0 — mask them dead before the
+            # body ever sees them.
+            cc = cc[:4] + (cc[4] & valid,) + cc[5:]
+            out = bounce_body(bounce, cc, pix=_closure_pixel_index[idx])[0]
+            iw = jnp.where(valid, idx, R)  # dropped on padding slots
+
+            def scat(x, xc):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == R:
+                    return x.at[iw].set(xc, mode="drop")
+                return xc  # scalar stats: compact sums == full sums
+
+            return tuple(scat(x, xc) for x, xc in zip(carry, out))
+
+        def _tiered_body(b, c):
+            fn = lambda c: bounce_body(b, c)[0]
+            for div in sorted(set(int(d) for d in compact_tiers)):
+                if div < 2 or R // div < 1024:
+                    continue
+                cap = -(-(R // div) // 1024) * 1024
+                fn = (lambda fn_next, cap: lambda c: jax.lax.cond(
+                    jnp.sum(c[4]) <= cap,
+                    lambda c: _compact_step(b, c, cap),
+                    fn_next, c))(fn, cap)
+            return fn(c)
+
         def _body(state):
             b, c = state
-            return b + 1, bounce_body(b, c)[0]
+            return b + 1, _tiered_body(b, c)
 
         _, carry = jax.lax.while_loop(_cond, _body, (jnp.int32(1), carry))
     (ray_o, ray_d, radiance, throughput, alive, prev_allow_nee, last_pdf,
@@ -972,6 +1037,25 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
     return radiance
 
 
+def default_compact_tiers(R, config):
+    """Static divisors for render_wave's late-bounce compaction cond.
+
+    Measured at Sponza 1080p (tools/exp_live_counts.py, exp_compact.py):
+    live lanes entering each bounce are 99.7% (b1), 24.7% (b2), 5.2%
+    (b3), 1.4% (b5). The bounce body's cost is dominated by ~50 ns/row
+    gather STARTS, and the compact transition itself gathers/scatters the
+    ~12-array carry — so shallow tiers LOSE (/4 at bounce 2 measured
+    +170 ms, /2 +520 ms net) and compaction only pays when the live
+    fraction is far below the tier (bounces >= 3, <= 6%, where a /16
+    body replaces full-width gathers with 1/16-width ones). Hence: no
+    tiers for <= 3 bounces; a single /16 tier for deeper configs (the
+    default b10, furnace b48), which the 99%-dead tail bounces take.
+    Small waves skip entirely (compile + cond outweigh the glue)."""
+    if R < (1 << 18) or config.num_bounces <= 3:
+        return ()
+    return (16,)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "width", "height", "seed",
                                     "has_lights", "has_textures", "has_media",
@@ -998,7 +1082,9 @@ def _denoised_frame(buffers, camera, pixel_index, sample_index, history,
                        has_media=has_media, with_aovs=True,
                        use_pallas=use_pallas, use_wide=use_wide,
                        use_gather_shade=use_gather_shade,
-                       use_stream=use_stream, mat_types=mat_types)
+                       use_stream=use_stream, mat_types=mat_types,
+                       compact_tiers=default_compact_tiers(
+                           pixel_index.shape[0], config))
 
     # Un-tile into (H, W) images. When pixel_index is the canonical
     # tile_order permutation (render_frame_denoised always passes it), the
@@ -1236,7 +1322,9 @@ class Pathtracer:
                                  use_wide=self.use_wide and not self.use_pallas,
                                  use_gather_shade=self.use_gather_shade,
                                  use_stream=self.use_stream,
-                                 valid_mask=mask, mat_types=self.mat_types)
+                                 valid_mask=mask, mat_types=self.mat_types,
+                                 compact_tiers=default_compact_tiers(
+                                     wave, self.gpu_config))
             count = min(wave, num_pixels - offset)
             frame = frame.at[idx[:count]].set(colors[:count])
 
@@ -1314,7 +1402,10 @@ class Pathtracer:
                                use_wide=self.use_wide and not self.use_pallas,
                                use_gather_shade=self.use_gather_shade,
                                use_stream=self.use_stream,
-                               mat_types=self.mat_types)
+                               mat_types=self.mat_types,
+                               compact_tiers=default_compact_tiers(
+                                   self.width * self.height,
+                                   self.gpu_config))
             for k in acc:
                 acc[k] = acc[k] + np.asarray(aovs[k])
         base = os.path.splitext(output_filename)[0]

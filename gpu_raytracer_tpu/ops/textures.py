@@ -69,6 +69,15 @@ def pack_texture_pool(mip_chains: List[List[np.ndarray]]):
     # analog (reference: sample_albedo's `textures[id].lod_bias`).
     base_lod = np.log2(np.maximum(np.maximum(widths[:, 0], heights[:, 0]), 1)
                        .astype(np.float32))
+    # (T, MM, 4) int32 [offset | width | height | max_mip] descriptor rows:
+    # the bounce-path tap fetches one (tid, mip) row instead of 3-4 narrow
+    # per-texture gathers (each full-wave gather pays ~50 ns/row of start
+    # latency - ~100 ms at 1080p, so descriptor packing saves ~300 ms per
+    # textured bounce).
+    mip_desc = np.stack(
+        [offsets.astype(np.int64), widths, heights,
+         np.broadcast_to((num_mips - 1)[:, None], widths.shape)],
+        axis=-1).astype(np.int32)
     return {
         "pool": jnp.asarray(pool),
         "pool_quad": jnp.asarray(pool_quad),
@@ -77,6 +86,12 @@ def pack_texture_pool(mip_chains: List[List[np.ndarray]]):
         "height": jnp.asarray(heights),
         "num_mips": jnp.asarray(num_mips),
         "base_lod": jnp.asarray(base_lod),
+        "mip_desc": jnp.asarray(mip_desc),
+        # Host copies for baking per-instance lod bias / mip count into
+        # instance rows (buffers._pack_instances) without a device
+        # readback.
+        "base_lod_np": base_lod,
+        "num_mips_np": num_mips,
     }
 
 
@@ -92,7 +107,8 @@ def _fetch(textures, offset, x, y, w, h):
     return srgb_to_linear(texel)
 
 
-def sample_bilinear_lod(textures, texture_id, u, v, lod, nearest_mip=False):
+def sample_bilinear_lod(textures, texture_id, u, v, lod, nearest_mip=False,
+                        max_mip=None):
     """Trilinear sample: bilinear at floor(lod) and ceil(lod), blended.
     texture_id: (R,) int32 (callers mask id < 0 themselves);
     u, v: (R,) wrap-addressed; lod: (R,) float mip level.
@@ -102,9 +118,14 @@ def sample_bilinear_lod(textures, texture_id, u, v, lod, nearest_mip=False):
     bounce >= 1 iso-cone taps (integrators/pathtracer.py): a full-wave
     gather costs ~50-100 ms at 1080p and inter-mip popping is invisible
     in indirect lighting (bounce 0 keeps the exact aniso/trilinear path
-    the reference's tex2DGrad provides)."""
+    the reference's tex2DGrad provides).
+
+    `max_mip`: optional (R,) float per-lane mip cap the caller already
+    holds (e.g. baked into instance rows) — skips the num_mips gather.
+    Each mip's offset/width/height come from ONE mip_desc row gather."""
     tid = jnp.maximum(texture_id, 0)
-    max_mip = (textures["num_mips"][tid] - 1).astype(jnp.float32)
+    if max_mip is None:
+        max_mip = (textures["num_mips"][tid] - 1).astype(jnp.float32)
     lod = jnp.clip(lod, 0.0, max_mip)
     if nearest_mip:
         lod = jnp.round(lod)
@@ -113,9 +134,8 @@ def sample_bilinear_lod(textures, texture_id, u, v, lod, nearest_mip=False):
     f = (lod - l0)[:, None]
 
     def bilinear(mip):
-        off = textures["offset"][tid, mip]
-        w = textures["width"][tid, mip]
-        h = textures["height"][tid, mip]
+        d = textures["mip_desc"][tid, mip]
+        off, w, h = d[:, 0], d[:, 1], d[:, 2]
         x = u * w - 0.5
         y = v * h - 0.5
         x0 = jnp.floor(x).astype(jnp.int32)
