@@ -61,6 +61,7 @@ IDLE = -2_000_000_000
 # ever silently dropped (matches the exactness of the reference's
 # DRAM-streamed CWBVH, BVH8.h:19-27).
 K_PORTALS = 16
+M_SUB = 4           # distinct portals each gang serves per page round
 MAX_ROUNDS = 1024   # inner page-round safety cap (>= 1 slot clears/round)
 MAX_PASSES = 64     # outer re-entry cap: 64 * K = 1024 portals per lane
 
@@ -306,31 +307,35 @@ def _resident_kernel(any_hit, skip_ref, tab_ref,
         tri_out[0] = best_tri
 
 
-def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
+def _page_kernel(any_hit, n_sub, page_rows, pages_ref, pid_ref, root_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                  t_out, tri_out,
                  page_vmem, stack_ref, sem):
-    # PER-GANG pages: each of the 8 gangs gets its own portal, page and
-    # VMEM slot (pid_ref/root_ref are indexed per gang slot i*8+g). The 8
-    # DMAs overlap each other; at 2 MiB pages the whole 16 MiB refill is
-    # ~20 us of HBM bandwidth — far below a page traversal — so no
-    # cross-tile double buffering is needed. Duplicated pids across gangs
-    # (common: the round driver sorts rays by portal) just re-copy.
+    # PER-GANG pages, M_SUB portals per gang per launch (round 5): gang g
+    # of tile i serves portal slots pid_ref[(i*8+g)*M + m] for m in
+    # [0, M). Each sub-round DMAs the gang's next page into its VMEM slot
+    # (skipped for unfilled slots), re-roots the stack, and traverses with
+    # that sub-round's participation-scoped t_max (tmax_ref[0, m]); the
+    # best hit / occlusion folds ACROSS sub-rounds, so one launch retires
+    # up to 8*M distinct portals per tile — M x fewer full-wave rounds,
+    # sorts and launches than the round-4 one-portal-per-round driver
+    # (measured 0.014 Mrays/s at stream-5M, 5% of resident). Duplicated
+    # pids across gangs just re-copy; at 2 MiB pages the 16 MiB refill is
+    # ~20 us of HBM bandwidth, far below a page traversal.
     i = pl.program_id(0)
-    for g in range(GANGS):
-        pltpu.make_async_copy(pages_ref.at[pid_ref[i * GANGS + g]],
-                              page_vmem.at[g], sem.at[g]).start()
-    for g in range(GANGS):
-        pltpu.make_async_copy(pages_ref.at[pid_ref[i * GANGS + g]],
-                              page_vmem.at[g], sem.at[g]).wait()
 
     wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
     wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
-    t_max = tmax_ref[0]
-    dead = t_max <= 0.0
+    wix, wiy, wiz = _inv1(wdx), _inv1(wdy), _inv1(wdz)
 
-    for g in range(GANGS):
-        stack_ref[g, 0] = root_ref[i * GANGS + g]
+    # A lane's round limit is identical in every sub-round it joins
+    # (inactive sub-rounds carry 0), so the running best starts at max_m.
+    lane_lim = tmax_ref[0, 0]
+    for m in range(1, n_sub):
+        lane_lim = jnp.maximum(lane_lim, tmax_ref[0, m])
+    best_t = lane_lim
+    best_tri = jnp.full(SHAPE, -1, jnp.int32)
+    occ = jnp.zeros(SHAPE, jnp.int32)
 
     def cond(s):
         sps = s[0]
@@ -339,21 +344,42 @@ def _page_kernel(any_hit, page_rows, pages_ref, pid_ref, root_ref,
             total = total + sps[g]
         return total > 0
 
-    def body(s):
-        sps, state = s
-        vs, sps = _pop(sps, stack_ref)
-        sps, state = _gang_body(any_hit, False,
-                                lambda g, idx: page_vmem[g, idx],
-                                page_rows, vs, sps, stack_ref, state)
-        return sps, state
+    for m in range(n_sub):
+        for g in range(GANGS):
+            pid = pid_ref[(i * GANGS + g) * n_sub + m]
 
-    wix, wiy, wiz = _inv1(wdx), _inv1(wdy), _inv1(wdz)
-    state0 = (wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, t_max, dead,
-              t_max, jnp.full(SHAPE, -1, jnp.int32),
-              jnp.zeros(SHAPE, jnp.int32))
-    init = ([jnp.int32(1)] * GANGS, state0)
-    _, state = jax.lax.while_loop(cond, body, init)
-    best_t, best_tri, occ = state[11], state[12], state[13]
+            @pl.when(pid >= 0)
+            def _():
+                pltpu.make_async_copy(pages_ref.at[pid], page_vmem.at[g],
+                                      sem.at[g]).start()
+        for g in range(GANGS):
+            pid = pid_ref[(i * GANGS + g) * n_sub + m]
+
+            @pl.when(pid >= 0)
+            def _():
+                pltpu.make_async_copy(pages_ref.at[pid], page_vmem.at[g],
+                                      sem.at[g]).wait()
+
+        t_max_m = tmax_ref[0, m]
+        dead_m = t_max_m <= 0.0
+        sps0 = []
+        for g in range(GANGS):
+            has = pid_ref[(i * GANGS + g) * n_sub + m] >= 0
+            stack_ref[g, 0] = root_ref[(i * GANGS + g) * n_sub + m]
+            sps0.append(has.astype(jnp.int32))
+
+        def body(s):
+            sps, state = s
+            vs, sps = _pop(sps, stack_ref)
+            sps, state = _gang_body(any_hit, False,
+                                    lambda g, idx: page_vmem[g, idx],
+                                    page_rows, vs, sps, stack_ref, state)
+            return sps, state
+
+        state0 = (wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz,
+                  t_max_m, dead_m, best_t, best_tri, occ)
+        _, state = jax.lax.while_loop(cond, body, (sps0, state0))
+        best_t, best_tri, occ = state[11], state[12], state[13]
 
     if any_hit:
         t_out[0] = jnp.where(occ > 0, 0.0, jnp.inf)
@@ -407,20 +433,28 @@ def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret, skip=None):
             ovf.reshape(n))
 
 
-def _phase2(pages, tile_pid, tile_root, ray_o, ray_d, t_max, any_hit,
+def _phase2(pages, gang_pid, gang_root, ray_o, ray_d, tmax_sub, any_hit,
             interpret):
+    """One multi-portal page round. `gang_pid`/`gang_root`: (G*GANGS*M,)
+    flat per-gang portal slots (-1 = unfilled); `tmax_sub`: (R, M)
+    participation-scoped limits (0 where the lane sits a sub-round out)."""
     R = ray_o.shape[0]
     G = R // BLOCK
+    M = tmax_sub.shape[1]
     page_rows = pages.shape[1]
 
     tile_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec((1, M, 8, 128), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tmax_tiles = tmax_sub.reshape(G, 8, 128, M).transpose(0, 3, 1, 2)
     t, tri = pl.pallas_call(
-        partial(_page_kernel, any_hit, page_rows),
+        partial(_page_kernel, any_hit, M, page_rows),
         grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)] + [tile_spec] * 7,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [tile_spec] * 6 + [sub_spec],
         out_specs=[tile_spec, tile_spec],
         out_shape=[jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((G, 8, 128), jnp.int32)],
@@ -431,10 +465,10 @@ def _phase2(pages, tile_pid, tile_root, ray_o, ray_d, t_max, any_hit,
             vmem_limit_bytes=min(page_rows * 512 * (GANGS + 1)
                                  + 16 * 1024 * 1024, 120 * 1024 * 1024)),
         interpret=interpret,
-    )(pages, tile_pid, tile_root,
+    )(pages, gang_pid, gang_root,
       _tile(ray_o[:, 0], G), _tile(ray_o[:, 1], G), _tile(ray_o[:, 2], G),
       _tile(ray_d[:, 0], G), _tile(ray_d[:, 1], G), _tile(ray_d[:, 2], G),
-      _tile(t_max, G))
+      tmax_tiles)
     return t.reshape(R), tri.reshape(R)
 
 
@@ -481,27 +515,47 @@ def _trace_stream(resident, pages, portal_page, portal_root,
             pids, sel_k[:, None], axis=1)[:, 0], jnp.int32(2 ** 30))
 
         order = jnp.argsort(sel_pid, stable=True)
-        inv_order = jnp.argsort(order, stable=True)
+        inv_order = jnp.zeros((R,), jnp.int32).at[order].set(
+            jnp.arange(R, dtype=jnp.int32))
         pid_sorted = sel_pid[order]
-        # Each GANG (128 sorted rays) serves the portal of its first ray —
-        # up to 8 distinct portals retire per tile per round; only matching
-        # rays trace this round (the sort makes mismatches rare).
-        gang_first = pid_sorted.reshape(-1, 128)[:, 0]
-        gang_pid_ray = jnp.repeat(gang_first, 128)
-        active_sorted = (pid_sorted == gang_pid_ray) & (pid_sorted < 2 ** 30)
+        # Round 5: each GANG (128 sorted rays) serves its first M_SUB
+        # DISTINCT pending portals as in-kernel sub-rounds, and every ray
+        # joins each sub-round whose portal appears ANYWHERE in its
+        # pending list — so one round retires up to 8*M_SUB portals per
+        # tile and several pending slots per ray.
+        pg = pid_sorted.reshape(-1, 128)
+        n_gang = pg.shape[0]
+        is_new = jnp.concatenate(
+            [jnp.ones((n_gang, 1), bool), pg[:, 1:] != pg[:, :-1]], axis=1)
+        rank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        rows = jnp.broadcast_to(jnp.arange(n_gang)[:, None], pg.shape)
+        cols = jnp.where(is_new & (rank < M_SUB), rank, M_SUB)
+        q = jnp.full((n_gang, M_SUB + 1), 2 ** 30, jnp.int32).at[
+            rows, cols].set(pg, mode="drop")[:, :M_SUB]
+        q_valid = q < 2 ** 30
 
-        o_s = ray_o[order]
-        d_s = ray_d[order]
-        lim_s = jnp.where(active_sorted, lim[order], 0.0)
-        # All-inactive gangs (2^30 sentinel) clamp to portal 0; their lanes
-        # carry t_max = 0, so the kernel culls everything.
-        gang_pid = jnp.clip(gang_first, 0, portal_page.shape[0] - 1)
-        t2, tri2 = _phase2(pages, portal_page[gang_pid],
-                           portal_root[gang_pid], o_s, d_s, lim_s,
+        # Per-ray participation per sub-round, in sorted space.
+        pids_sorted = pids[order]
+        pend_sorted = pending[order]
+        q_ray = jnp.repeat(q, 128, axis=0)                    # (R, M)
+        match = (pend_sorted[:, :, None]
+                 & (pids_sorted[:, :, None] == q_ray[:, None, :])
+                 & q_valid.repeat(128, axis=0)[:, None, :])   # (R, K, M)
+        active_m = jnp.any(match, axis=1)                     # (R, M)
+        lim_sorted = lim[order]
+        tmax_sub = jnp.where(active_m, lim_sorted[:, None], 0.0)
+
+        gang_pid = jnp.where(q_valid, q, -1).reshape(-1)
+        qc = jnp.clip(q, 0, P - 1)
+        gang_page = jnp.where(q_valid, portal_page[qc], -1).reshape(-1)
+        gang_root = jnp.where(q_valid, portal_root[qc], 0).reshape(-1)
+        del gang_pid
+        t2, tri2 = _phase2(pages, gang_page, gang_root,
+                           ray_o[order], ray_d[order], tmax_sub,
                            any_hit, interpret)
         t2 = t2[inv_order]
         tri2 = tri2[inv_order]
-        processed = active_sorted[inv_order]
+        processed = jnp.any(active_m, axis=1)[inv_order]
 
         if any_hit:
             occluded = occluded | (processed & (tri2 >= 0))
@@ -509,9 +563,8 @@ def _trace_stream(resident, pages, portal_page, portal_root,
             better = processed & (tri2 >= 0) & (t2 < best_t)
             best_t = jnp.where(better, t2, best_t)
             best_tri = jnp.where(better, tri2, best_tri)
-        # Clear the processed pending slot.
-        clear = processed[:, None] & (
-            jnp.arange(K_PORTALS)[None, :] == sel_k[:, None])
+        # Clear EVERY pending slot whose portal was served to this ray.
+        clear = jnp.any(match, axis=2)[inv_order]
         pids = jnp.where(clear, -1, pids)
         return best_t, best_tri, occluded, pids, pts, r + 1
 
