@@ -89,7 +89,10 @@ def bench_scene(scene, buffers, W, H, num_bounces, povs, samples=2):
     import jax.numpy as jnp
 
     from gpu_raytracer_tpu.config import GPUConfig
-    from gpu_raytracer_tpu.integrators.pathtracer import render_wave
+    from gpu_raytracer_tpu.integrators.pathtracer import (
+        default_compact_tiers,
+        render_wave,
+    )
     from gpu_raytracer_tpu.ops.camera_rays import tile_order
 
     scene.film_width, scene.film_height = W, H
@@ -107,7 +110,8 @@ def bench_scene(scene, buffers, W, H, num_bounces, povs, samples=2):
                            use_pallas_shade=p["shade"],
                            use_wide=p["wide"],
                            use_gather_shade=p["gather_shade"],
-                           use_stream=p["stream"], mat_types=mat_types)
+                           use_stream=p["stream"], mat_types=mat_types,
+                           compact_tiers=default_compact_tiers(W * H, config))
 
     results = []
     if not povs:
@@ -149,6 +153,9 @@ def bench_denoised(scene, buffers, W, H, frames=3):
     from gpu_raytracer_tpu.config import GPUConfig
     from gpu_raytracer_tpu.integrators.pathtracer import (
         _denoised_frame, render_wave,
+    )
+    from gpu_raytracer_tpu.integrators.pathtracer import (
+        default_compact_tiers as _dct,
     )
     from gpu_raytracer_tpu.ops import svgf as svgf_ops
     from gpu_raytracer_tpu.ops.camera_rays import tile_order
@@ -192,8 +199,8 @@ def bench_denoised(scene, buffers, W, H, frames=3):
                            has_textures=len(scene.textures) > 0,
                            use_pallas=p["pallas"], use_wide=p["wide"],
                            use_gather_shade=p["gather_shade"],
-                           use_stream=p["stream"],
-                           mat_types=mat_types)["direct"]
+                           use_stream=p["stream"], mat_types=mat_types,
+                           compact_tiers=_dct(W * H, gpu))["direct"]
 
     float(dsum(trace(0)))
     vals = []
@@ -655,18 +662,41 @@ def main() -> int:
 
     if _left() > 180:
         try:
-            scene, buffers = _load_scene(
-                "/root/reference/Data/instancing/scene.xml", 512, 512)
+            from gpu_raytracer_tpu.assets.geometry import sphere
+            from gpu_raytracer_tpu.config import CPUConfig
+            from gpu_raytracer_tpu.ops.buffers import build_scene_buffers
+            from gpu_raytracer_tpu.scene import Scene
+
+            scene = Scene.from_config(CPUConfig(scene_filenames=[
+                "/root/reference/Data/instancing/scene.xml"]))
+            # lucy.obj is absent from the Data snapshot, so its mesh
+            # degrades to a dummy micro-triangle and the 441 statue
+            # instances render empty (round-4 weak #7: the probe measured
+            # per-wave fixed cost, not traversal). Substitute an icosphere
+            # stand-in so the probe traverses a real 444-instance
+            # two-level TLAS/BLAS; the anchor image stays attributed as
+            # data-blocked (bench_anchor_instancing).
+            import numpy as np
+
+            standins = 0
+            for md in scene.mesh_datas:
+                if len(md.triangles) <= 1:
+                    md.triangles = sphere(
+                        np.diag([0.5, 0.5, 0.5, 1.0]).astype(np.float32),
+                        num_subdivisions=4)
+                    md.bvh = None  # force a BLAS rebuild on the stand-in
+                    standins += 1
+            scene.film_width, scene.film_height = 512, 512
+            scene.camera.resize(512, 512)
+            scene.update(0.0)
+            buffers = build_scene_buffers(scene)
             inst_mrays, inst_ms, _ = bench_scene(scene, buffers, 512, 512,
                                                  4, None, samples=4)
             out["instancing512_mrays"] = round(inst_mrays, 3)
             out["instancing_ms_per_sample"] = round(inst_ms, 1)
-            # The Data snapshot ships scene.xml but NOT lucy.obj: 441 of
-            # 444 instances degrade to empty meshes, so almost every ray
-            # dies at bounce 0 and the rays/s metric is dominated by
-            # per-wave fixed cost at a near-empty wavefront — report the
-            # wall-clock per sample alongside.
-            out["instancing_note"] = "lucy.obj absent from Data snapshot"
+            out["instancing_note"] = (
+                f"lucy.obj absent from Data snapshot; {standins} degraded "
+                "mesh(es) replaced by a 5k-tri icosphere stand-in")
         except Exception as e:
             _log(f"instancing failed: {e}")
 

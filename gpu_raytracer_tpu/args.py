@@ -57,7 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", type=str, default=None, help="output filename (.exr/.ppm/.png)")
     p.add_argument("-s", "--scene", action="append", default=None, help="scene file (repeatable)")
     p.add_argument("-S", "--sky", type=str, default=None, help="sky HDR filename (equirectangular)")
-    p.add_argument("--bvh", choices=sorted(_BVH_NAMES), default=None, help="BVH type")
+    p.add_argument("--bvh", choices=sorted(_BVH_NAMES), default=None,
+                   help="BVH type (host build/collapse width; on device, "
+                        "bvh4/qbvh packs its 4-wide nodes into the same "
+                        "8-slot rows the bvh8 kernels traverse, so it is "
+                        "a build-quality choice, not a separate kernel)")
     p.add_argument("--nee", type=_parse_bool, default=None, metavar="{on,off}",
                    help="enable next-event estimation")
     p.add_argument("--mis", type=_parse_bool, default=None, metavar="{on,off}",

@@ -104,6 +104,7 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
     integrator.init_device()
 
     qx, qy = integrator.width // 2, integrator.height // 2  # query crosshair
+    selected = None  # instance id grabbed with `g` for TRS editing
     old_attrs = None
     if interactive:
         old_attrs = termios.tcgetattr(sys.stdin)
@@ -210,6 +211,52 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                         integrator.invalidated.gpu_config = True
                         integrator.update(0.0)
                         print(f"\x1b[Hsvgf atrous iterations = {it}\x1b[K")
+                    elif k == "g":
+                        # Grab the instance under the crosshair for TRS
+                        # editing (reference: ImGui scene-graph selection,
+                        # Main.cpp:498-658).
+                        info = query_pixel(integrator, qx, qy)
+                        selected = info["instance"] if info else None
+                        name = (integrator.scene.instances[selected].name
+                                if selected is not None else "none")
+                        print(f"\x1b[Hselected instance: {selected} "
+                              f"({name})\x1b[K")
+                    elif k in "zZcCvVyYuU" and selected is not None:
+                        # Live instance-transform editing via the
+                        # transform-only invalidation path: mutates TRS,
+                        # then refresh_tlas re-packs the TLAS head +
+                        # instance rows with NO re-jit (reference: ImGui
+                        # transform widgets -> per-frame build_tlas,
+                        # Main.cpp:498-658 -> Integrator.cpp:399-430).
+                        inst = integrator.scene.instances[selected]
+                        step = MOVEMENT_SPEED * delta * 0.25
+                        axis = {"z": 0, "c": 1, "v": 2}.get(k.lower())
+                        if axis is not None:
+                            sign = 1.0 if k.islower() else -1.0
+                            pos = np.array(inst.position, np.float32)
+                            pos[axis] += sign * step
+                            inst.position = pos
+                        elif k in "yY":
+                            sign = 1.0 if k == "y" else -1.0
+                            inst.rotation = xf.quat_multiply(
+                                xf.quat_axis_angle(
+                                    [0, 1, 0],
+                                    sign * ROTATION_SPEED * delta),
+                                inst.rotation)
+                        else:  # uU: uniform scale
+                            inst.scale = float(np.clip(
+                                inst.scale * (1.05 if k == "u" else 1 / 1.05),
+                                1e-3, 1e4))
+                        inst.update()
+                        integrator.invalidated.scene = True
+                        # Async TLAS re-pack overlaps the in-flight frame;
+                        # accumulation resets unless SVGF covers the edit
+                        # (reference policy, Integrator.cpp:432-470).
+                        getattr(integrator, "update_async",
+                                integrator.update)(delta)
+                        print(f"\x1b[Hinstance '{inst.name}' pos="
+                              f"{np.round(inst.position, 2)} "
+                              f"scale={inst.scale:.2f}\x1b[K")
                     elif k == "r":
                         # Hot reload: rebuild device buffers + re-trace (F5).
                         integrator.init_device()
@@ -233,7 +280,8 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
             sys.stdout.write(
                 f"spp {integrator.sample_index}  {stats['avg_ms']:.0f} ms/frame "
                 f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, IJKL crosshair, "
-                f"p query, []/-+ material, f/o lens, n svgf, t timings, "
+                f"p query, g grab, zcv/ZCV move, y/Y turn, u/U scale, "
+                f"[]/-+ material, f/o lens, n svgf, t timings, "
                 f"r reload, x quit]\x1b[K\n")
             sys.stdout.flush()
 
