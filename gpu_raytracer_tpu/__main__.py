@@ -11,6 +11,7 @@ utils/viewer.py).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -64,23 +65,77 @@ def main(argv=None) -> int:
         return 0
 
     num_samples = cpu.output_sample_index or 16
+
+    # ---- checkpoint/resume (SURVEY §5.4): a preempted batch render
+    # restarts from the last saved accumulator instead of sample 0. The
+    # fingerprint refuses a snapshot taken under any other render
+    # configuration; SVGF batch mode is temporally filtered (history
+    # pyramid, not a running mean), so only the plain path checkpoints. ----
+    ckpt_path = cpu.checkpoint_filename
+    fingerprint = repr((sorted(cpu.scene_filenames), scene.film_width,
+                        scene.film_height, cpu.integrator.value, cpu.seed,
+                        gpu))
+    if ckpt_path and gpu.enable_svgf:
+        print("[checkpoint] SVGF mode keeps filter history, not a running "
+              "mean; checkpointing is disabled for it")
+        ckpt_path = None
+    if ckpt_path and os.path.exists(ckpt_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        snap = np.load(ckpt_path, allow_pickle=False)
+        if str(snap["fingerprint"]) != fingerprint:
+            print(f"[checkpoint] {ckpt_path} was taken under a different "
+                  f"render configuration; ignoring it")
+        elif snap["accumulator"].shape != (scene.film_width * scene.film_height, 3):
+            print(f"[checkpoint] {ckpt_path} resolution mismatch; ignoring it")
+        else:
+            integrator.accumulator = jnp.asarray(snap["accumulator"])
+            integrator.sample_index = int(snap["sample_index"])
+            print(f"[checkpoint] resumed {ckpt_path} at sample "
+                  f"{integrator.sample_index}/{num_samples}")
+
+    def save_checkpoint():
+        import numpy as np
+
+        tmp = ckpt_path + ".tmp.npz"
+        # np.asarray is the device readback — keep it out of the sample
+        # loop's critical path by saving only every checkpoint_interval_s.
+        np.savez(tmp, accumulator=np.asarray(integrator.accumulator),
+                 sample_index=integrator.sample_index,
+                 fingerprint=fingerprint)
+        os.replace(tmp, ckpt_path)
+
     t0 = time.time()
-    for s in range(num_samples):
+    last_save = t0
+    start_index = integrator.sample_index
+    first = start_index == 0
+    while integrator.sample_index < num_samples:
         if gpu.enable_svgf:
             integrator.render_frame_denoised()
         else:
             integrator.render()
-        if s == 0:
+        if first:
             import jax
 
             jax.block_until_ready(integrator.accumulator)
             print(f"[render] first sample (incl. compile) {time.time() - t0:.2f}s")
+            first = False
+        if ckpt_path and time.time() - last_save >= cpu.checkpoint_interval_s \
+                and integrator.sample_index < num_samples:
+            save_checkpoint()
+            last_save = time.time()
+            print(f"[checkpoint] saved {ckpt_path} at sample "
+                  f"{integrator.sample_index}")
     import jax
 
     jax.block_until_ready(integrator.accumulator)
     dt = time.time() - t0
-    print(f"[render] {num_samples} spp in {dt:.2f}s "
-          f"({1000.0 * dt / num_samples:.1f} ms/sample)")
+    rendered = max(num_samples - start_index, 1)
+    print(f"[render] {rendered} spp in {dt:.2f}s "
+          f"({1000.0 * dt / rendered:.1f} ms/sample)")
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # completed render: the snapshot is stale now
 
     if cpu.output_filename:
         image_io.save(cpu.output_filename, integrator.framebuffer())

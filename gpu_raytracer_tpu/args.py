@@ -96,6 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export albedo/normal/position EXR AOVs")
     p.add_argument("--viewer", action="store_true",
                    help="interactive terminal viewer (WASD camera, pixel query)")
+    p.add_argument("--checkpoint", type=str, default=None, metavar="FILE",
+                   help="accumulator checkpoint (.npz) for long batch "
+                        "renders: saved periodically, resumed when FILE "
+                        "exists and matches the render configuration, "
+                        "deleted on a completed render")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   metavar="SECONDS",
+                   help="seconds between checkpoint saves (default 300; "
+                        "each save reads the accumulator back from device)")
     return p
 
 
@@ -176,4 +185,8 @@ def parse(argv: Optional[Sequence[str]] = None) -> Tuple[CPUConfig, GPUConfig]:
     cpu.run_perf_test = bool(ns.perf)
     cpu.export_aovs = bool(ns.aovs)
     cpu.run_viewer = bool(ns.viewer)
+    if ns.checkpoint is not None:
+        cpu.checkpoint_filename = ns.checkpoint
+    if ns.checkpoint_every is not None:
+        cpu.checkpoint_interval_s = ns.checkpoint_every
     return cpu, gpu

@@ -187,6 +187,12 @@ class CPUConfig:
     export_aovs: bool = False
     run_viewer: bool = False
 
+    # Batch-render checkpoint/resume (SURVEY §5.4; no reference analog —
+    # the reference renders interactively, a TPU batch job can be
+    # preempted): accumulator + sample_index snapshot, fingerprint-gated.
+    checkpoint_filename: Optional[str] = None
+    checkpoint_interval_s: int = 300
+
 
 @dataclass
 class Invalidation:
