@@ -63,7 +63,10 @@ def render_to_terminal(hdr: np.ndarray, max_cols: int = 160) -> str:
 
 def query_pixel(integrator, x: int, y: int):
     """Trace one primary ray through pixel (x, y) and return the hit record
-    (reference: pixel query round trip, Integrator.cpp:483-495)."""
+    plus the world-space geometry the overlay draws: triangle vertices,
+    instance AABB, hit point and geometric normal (reference: pixel query
+    round trip + on-screen debug draw, Integrator.cpp:483-495 and
+    Main.cpp:665-760)."""
     import jax.numpy as jnp
 
     from gpu_raytracer_tpu.config import ReconstructionFilter
@@ -82,15 +85,91 @@ def query_pixel(integrator, x: int, y: int):
         return None
     instance = integrator.scene.instances[inst]
     material = integrator.scene.materials[instance.material_id]
+
+    # World-space debug geometry (tiny single-row readbacks).
+    tri = int(hit.tri[0])
+    tb = integrator.buffers["tris"]
+    p0 = np.asarray(tb["p0"][tri])  # object space
+    e1 = np.asarray(tb["e1"][tri])
+    e2 = np.asarray(tb["e2"][tri])
+    T = np.asarray(instance.transform, np.float32).reshape(3, 4)
+    verts_obj = np.stack([p0, p0 + e1, p0 + e2])
+    tri_world = verts_obj @ T[:, :3].T + T[:, 3]
+    n = np.cross(tri_world[1] - tri_world[0], tri_world[2] - tri_world[0])
+    n = n / max(np.linalg.norm(n), 1e-20)
+    md = integrator.scene.mesh_datas[instance.mesh_data_id]
+    box = md.triangles.aabb()
+    lo, hi = box.min, box.max
+    corners = np.array([[x_, y_, z_] for x_ in (lo[0], hi[0])
+                        for y_ in (lo[1], hi[1]) for z_ in (lo[2], hi[2])],
+                       np.float32)
+    corners_w = corners @ T[:, :3].T + T[:, 3]
+    hit_p = (np.asarray(o[0]) + float(hit.t[0]) * np.asarray(d[0]))
     return {
         "instance": inst,
         "instance_name": instance.name,
-        "triangle": int(hit.tri[0]),
+        "triangle": tri,
         "material": material.name,
         "material_id": instance.material_id,
         "material_type": material.type.name,
         "t": float(hit.t[0]),
+        "tri_world": tri_world,
+        "aabb_corners": corners_w,
+        "hit_p": hit_p,
+        "normal": n,
     }
+
+
+# AABB wireframe edges as corner-index pairs ((x,y,z) bit-coded 0..7).
+_AABB_EDGES = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+               (5, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def _project(camera, pts: np.ndarray):
+    """World points -> float pixel coords via the ray-gen basis (the exact
+    inverse of generate_primary_rays' `dir = bl + x*ax + y*ay`), so the
+    overlay lands on the same pixels the renderer hit."""
+    basis = np.stack([camera.x_axis_rotated, camera.y_axis_rotated,
+                      camera.bottom_left_corner_rotated], axis=1)
+    c = np.linalg.solve(basis.astype(np.float64),
+                        (pts - camera.position).T).T
+    in_front = c[:, 2] > 1e-9
+    xy = c[:, :2] / np.maximum(c[:, 2:3], 1e-9)
+    return xy, in_front
+
+
+def _draw_line(img: np.ndarray, p0, p1, color) -> None:
+    n = int(min(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1), 4096))
+    t = np.linspace(0.0, 1.0, n + 1)
+    xs = np.round(p0[0] + (p1[0] - p0[0]) * t).astype(np.int64)
+    ys = np.round(p0[1] + (p1[1] - p0[1]) * t).astype(np.int64)
+    h, w = img.shape[:2]
+    m = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[m], xs[m]] = color
+
+
+def draw_query_overlay(frame: np.ndarray, camera, info: dict) -> np.ndarray:
+    """Draw the queried triangle wireframe (yellow), its instance's world
+    AABB (cyan) and the hit normal (magenta) into a copy of the HDR frame —
+    the terminal analog of the reference's GL debug lines over the render
+    (Main.cpp:665-760). Colors are pre-tonemap HDR so ACES saturates them."""
+    out = np.array(frame, copy=True)
+
+    def seg(a, b, color):
+        xy, ok = _project(camera, np.stack([a, b]))
+        if ok.all():  # no near-plane clipping: skip segments behind the eye
+            _draw_line(out, xy[0], xy[1], color)
+
+    corners = info["aabb_corners"]
+    for i, j in _AABB_EDGES:
+        seg(corners[i], corners[j], (0.05, 4.0, 4.0))
+    tw = info["tri_world"]
+    diag = float(np.linalg.norm(corners.max(0) - corners.min(0)))
+    for i in range(3):
+        seg(tw[i], tw[(i + 1) % 3], (4.0, 4.0, 0.05))
+    seg(info["hit_p"], info["hit_p"] + info["normal"] * 0.1 * max(diag, 1e-3),
+        (4.0, 0.05, 4.0))
+    return out
 
 
 def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None:
@@ -105,6 +184,7 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
 
     qx, qy = integrator.width // 2, integrator.height // 2  # query crosshair
     selected = None  # instance id grabbed with `g` for TRS editing
+    overlay = None   # last 'p' query hit, drawn as debug wireframes
     old_attrs = None
     if interactive:
         old_attrs = termios.tcgetattr(sys.stdin)
@@ -149,7 +229,14 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
                         print(f"\x1b[Hcrosshair ({qx}, {qy})\x1b[K")
                     elif k == "p":
                         info = query_pixel(integrator, qx, qy)
-                        print(f"\x1b[Hpixel query: {info}\x1b[K")
+                        overlay = info  # drawn until 'P' clears it
+                        brief = None if info is None else {
+                            k_: info[k_] for k_ in
+                            ("instance", "instance_name", "triangle",
+                             "material", "material_type", "t")}
+                        print(f"\x1b[Hpixel query: {brief}\x1b[K")
+                    elif k == "P":
+                        overlay = None
                     elif k in "[]+-":
                         # Live material edit at the crosshair via the
                         # invalidation protocol (reference: ImGui editor ->
@@ -276,11 +363,13 @@ def run_viewer(integrator, max_cols: int = 120, target_samples: int = 0) -> None
             timer.tick()
             stats = timer.stats()
             frame = integrator.framebuffer()
+            if overlay is not None:
+                frame = draw_query_overlay(frame, camera, overlay)
             sys.stdout.write("\x1b[H" + render_to_terminal(frame, max_cols) + "\n")
             sys.stdout.write(
                 f"spp {integrator.sample_index}  {stats['avg_ms']:.0f} ms/frame "
                 f"({stats['fps']:.1f} fps)  [wasd/qe move, jl turn, IJKL crosshair, "
-                f"p query, g grab, zcv/ZCV move, y/Y turn, u/U scale, "
+                f"p query (P clear), g grab, zcv/ZCV move, y/Y turn, u/U scale, "
                 f"[]/-+ material, f/o lens, n svgf, t timings, "
                 f"r reload, x quit]\x1b[K\n")
             sys.stdout.flush()
