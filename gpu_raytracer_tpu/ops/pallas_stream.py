@@ -393,9 +393,24 @@ def _tile(x, G):
     return x.reshape(G, 8, 128)
 
 
+# TPU watchdog guard: grid steps run sequentially on the core, so one
+# pallas_call's runtime is the SUM over its tiles — a full 1080p wave
+# against a multi-million-triangle tree in a single launch can exceed the
+# device's execution watchdog. Both phases split waves wider than this
+# into several launches (equal results, bounded per-launch runtime).
+MAX_TILES_PER_LAUNCH = 512
+
+
 def _phase1(resident, ray_o, ray_d, t_max, any_hit, interpret, skip=None):
     R = ray_o.shape[0]
     G = R // BLOCK
+    if G > MAX_TILES_PER_LAUNCH:
+        c = MAX_TILES_PER_LAUNCH * BLOCK
+        outs = [_phase1(resident, ray_o[i:i + c], ray_d[i:i + c],
+                        t_max[i:i + c], any_hit, interpret, skip)
+                for i in range(0, R, c)]
+        return tuple(jnp.concatenate([o[k] for o in outs])
+                     for k in range(5))
     if skip is None:
         skip = jnp.zeros((1,), jnp.int32)
 
@@ -441,6 +456,16 @@ def _phase2(pages, gang_pid, gang_root, ray_o, ray_d, tmax_sub, any_hit,
     R = ray_o.shape[0]
     G = R // BLOCK
     M = tmax_sub.shape[1]
+    if G > MAX_TILES_PER_LAUNCH:
+        c = MAX_TILES_PER_LAUNCH * BLOCK
+        gc = MAX_TILES_PER_LAUNCH * GANGS * M
+        outs = [_phase2(pages, gang_pid[g:g + gc], gang_root[g:g + gc],
+                        ray_o[i:i + c], ray_d[i:i + c],
+                        tmax_sub[i:i + c], any_hit, interpret)
+                for i, g in zip(range(0, R, c),
+                                range(0, G * GANGS * M, gc))]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
     page_rows = pages.shape[1]
 
     tile_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),

@@ -202,3 +202,21 @@ def test_render_wave_on_stream_path(monkeypatch):
                         use_stream=True)
     assert float(ra) == float(rb)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)
+
+
+def test_wave_split_bit_equal(packed, monkeypatch):
+    """Splitting a wave across several launches (the TPU-watchdog guard)
+    must be invisible: forcing 1-tile launches gives bit-identical hits
+    and occlusion vs the single-launch path."""
+    _, paged = packed
+    o, d, tmax = _rays(R=4096, seed=7)
+    one = ps.trace_closest_stream(paged, o, d, tmax, interpret=True)
+    occ_one = ps.trace_any_stream(paged, o, d,
+                                  jnp.full((4096,), 1.0), interpret=True)
+    monkeypatch.setattr(ps, "MAX_TILES_PER_LAUNCH", 1)
+    split = ps.trace_closest_stream(paged, o, d, tmax, interpret=True)
+    occ_split = ps.trace_any_stream(paged, o, d,
+                                    jnp.full((4096,), 1.0), interpret=True)
+    np.testing.assert_array_equal(np.asarray(one.tri), np.asarray(split.tri))
+    np.testing.assert_array_equal(np.asarray(one.t), np.asarray(split.t))
+    np.testing.assert_array_equal(np.asarray(occ_one), np.asarray(occ_split))
