@@ -8,6 +8,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
+
+from gpu_raytracer_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 import jax
 import jax.numpy as jnp
 
