@@ -515,7 +515,9 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                 uv_e2 = _r[:, 22:24] - _r[:, 18:20]
                 double_area_tex = jnp.abs(uv_e1[:, 0] * uv_e2[:, 1]
                                           - uv_e2[:, 0] * uv_e1[:, 1])
-                from gpu_raytracer_tpu.ops.textures import sample_bilinear_lod
+                from gpu_raytracer_tpu.ops.textures import (
+                    sample_bilinear_lod_arith,
+                )
 
                 lod_tri = jnp.sqrt(double_area_tex
                                    / jnp.maximum(double_area_world, 1e-20))
@@ -523,10 +525,15 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                     jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
                 mip = (irow[:, 26]
                        + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
-                tex_rgb = sample_bilinear_lod(buffers["textures"], tex_id,
-                                              uv[:, 0], uv[:, 1], mip,
-                                              nearest_mip=True,
-                                              max_mip=irow[:, 28])
+                # Arithmetic mip addressing: base off / w0 / h0 ride the
+                # instance row, so the whole tap costs ONE quad-row gather
+                # (no per-lane mip_desc gather — ops/textures.py round 5).
+                tex_rgb = sample_bilinear_lod_arith(
+                    buffers["textures"],
+                    jax.lax.bitcast_convert_type(irow[:, 29], jnp.int32),
+                    irow[:, 30], irow[:, 31],
+                    uv[:, 0], uv[:, 1], mip,
+                    nearest_mip=True, max_mip=irow[:, 28])
                 tex_mul = jnp.where((tex_id >= 0)[:, None], tex_rgb, 1.0)
             sky_radiance = sample_sky(buffers["sky"], buffers["sky_scale"],
                                       ray_d)
@@ -732,7 +739,7 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                       - uv_e2[:, 0] * uv_e1[:, 1])
             from gpu_raytracer_tpu.ops.textures import (
                 sample_aniso_grad,
-                sample_bilinear_lod,
+                sample_bilinear_lod_arith,
             )
 
             def iso_tex(_):
@@ -740,15 +747,17 @@ def render_wave(buffers: dict, camera: dict, pixel_index: jnp.ndarray,
                                    / jnp.maximum(double_area_world, 1e-20))
                 lod_cone = jnp.abs(cone_width / jnp.minimum(
                     jnp.sum(ray_d * geom_n, axis=-1), -1e-4))
-                tidc = jnp.maximum(tex_id, 0)
-                mip = (buffers["textures"]["base_lod"][tidc]
+                mip = (irow[:, 26]
                        + jnp.log2(jnp.maximum(lod_tri * lod_cone, 1e-20)))
                 # bounce >= 1 only (bounce 0 is the aniso branch): nearest
-                # mip halves the gather-start latency; popping is
-                # invisible in indirect light.
-                return sample_bilinear_lod(buffers["textures"], tex_id,
-                                           uv[:, 0], uv[:, 1], mip,
-                                           nearest_mip=True)
+                # mip + arithmetic mip addressing = ONE quad-row gather per
+                # tap; popping is invisible in indirect light.
+                return sample_bilinear_lod_arith(
+                    buffers["textures"],
+                    jax.lax.bitcast_convert_type(irow[:, 29], jnp.int32),
+                    irow[:, 30], irow[:, 31],
+                    uv[:, 0], uv[:, 1], mip,
+                    nearest_mip=True, max_mip=irow[:, 28])
 
             def aniso_tex(_):
                 # Cone ellipse axes on the surface (RT Gems ch.20 / reference

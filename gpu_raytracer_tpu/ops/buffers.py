@@ -228,8 +228,18 @@ def _pack_instances(scene: Scene, geo: GeometryCache):
     tex_lod = np.zeros(I, np.float32)
     medium_id = np.full(I, -1.0, np.float32)
     tex_max_mip = np.zeros(I, np.float32)
+    # Arithmetic mip addressing facts (ops/textures.py round 5): pool base
+    # offset (int32 BITCAST into the f32 row — a gather is a pure move, no
+    # FTZ risk) plus mip-0 dims, letting the bounce tap compute every mip's
+    # offset/dims with VPU ALU instead of a per-lane mip_desc row gather.
+    tex_base_off = np.zeros(I, np.int32)
+    tex_w0 = np.ones(I, np.float32)
+    tex_h0 = np.ones(I, np.float32)
     base_lod_np = getattr(scene, "_texture_base_lod", None)
     num_mips_np = getattr(scene, "_texture_num_mips", None)
+    base_off_np = getattr(scene, "_texture_base_off", None)
+    w0_np = getattr(scene, "_texture_w0", None)
+    h0_np = getattr(scene, "_texture_h0", None)
     for i, inst in enumerate(scene.instances):
         transform[i] = inst.transform
         transform_inv[i] = inst.transform_inv
@@ -243,6 +253,10 @@ def _pack_instances(scene: Scene, geo: GeometryCache):
             tex_lod[i] = base_lod_np[m.texture_id]
             if num_mips_np is not None:
                 tex_max_mip[i] = max(int(num_mips_np[m.texture_id]) - 1, 0)
+            if base_off_np is not None:
+                tex_base_off[i] = base_off_np[m.texture_id]
+                tex_w0[i] = w0_np[m.texture_id]
+                tex_h0[i] = h0_np[m.texture_id]
     return {
         "transform": transform,
         "transform_inv": transform_inv,
@@ -257,16 +271,17 @@ def _pack_instances(scene: Scene, geo: GeometryCache):
         "material_id": material_id,
         "blas_root": blas_root,
         # (I, 32) shading rows [fwd 12 | inv 12 | material_id | tex_id |
-        # tex base lod | medium_id | tex max mip | pad]: one fetch_rows
-        # per bounce replaces ~25 per-column gathers (ops/vec.py
-        # fetch_rows rationale); cols 25-28 carry the baked material
-        # facts above.
+        # tex base lod | medium_id | tex max mip | tex base off (int32
+        # bitcast) | tex w0 | tex h0]: one fetch_rows per bounce replaces
+        # ~25 per-column gathers (ops/vec.py fetch_rows rationale); cols
+        # 25-31 carry the baked material/texture facts above.
         "rows": np.concatenate(
             [transform.reshape(I, 12), transform_inv.reshape(I, 12),
              material_id[:, None].astype(np.float32),
              tex_id[:, None], tex_lod[:, None], medium_id[:, None],
              tex_max_mip[:, None],
-             np.zeros((I, 3), np.float32)], axis=-1),
+             tex_base_off[:, None].view(np.float32),
+             tex_w0[:, None], tex_h0[:, None]], axis=-1),
         "prev_rows": transform_prev.reshape(I, 12).copy(),
     }
 
@@ -381,6 +396,9 @@ def build_scene_buffers(scene: Scene, sah_cost_node: float = 4.0,
     # instance material's lod bias / mip count into the instance rows.
     scene._texture_base_lod = textures["base_lod_np"]
     scene._texture_num_mips = textures["num_mips_np"]
+    scene._texture_base_off = textures["base_off_np"]
+    scene._texture_w0 = textures["w0_np"]
+    scene._texture_h0 = textures["h0_np"]
 
     packed_tris = np.concatenate(
         [pos[:, 0], pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]], axis=-1)

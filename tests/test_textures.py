@@ -97,3 +97,39 @@ def test_dds_bc1_fallback_decode(tmp_path):
     np.testing.assert_allclose(img[0, 3], [85, 0, 170], atol=1)
     # every row identical
     np.testing.assert_array_equal(img[1:], np.broadcast_to(img[0], (3, 4, 3)))
+
+
+def test_arith_addressing_matches_descriptor_sampler():
+    """sample_bilinear_lod_arith must return the same texels as the
+    descriptor-gather sampler for every (texture, mip, uv), including
+    non-square and non-pow2 dims (the padded pow2-slot layout)."""
+    from gpu_raytracer_tpu.ops.textures import sample_bilinear_lod_arith
+
+    rng = np.random.default_rng(7)
+    chains = []
+    for h, w in [(64, 64), (48, 96), (7, 33), (1, 1), (128, 32)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        chains.append(generate_mips(img, None))
+    tex = pack_texture_pool(chains)
+    base_off = np.asarray(tex["base_off_np"])
+    w0 = np.asarray(tex["w0_np"], np.float32)
+    h0 = np.asarray(tex["h0_np"], np.float32)
+    max_mip = np.asarray(tex["num_mips_np"], np.float32) - 1.0
+
+    R = 256
+    tid = rng.integers(0, len(chains), R).astype(np.int32)
+    u = rng.random(R, np.float32) * 2.2 - 0.6   # exercises wrapping
+    v = rng.random(R, np.float32) * 2.2 - 0.6
+    lod = (rng.random(R, np.float32) * 12.0).astype(np.float32)
+
+    for nearest in (False, True):
+        a = sample_bilinear_lod(tex, jnp.asarray(tid), jnp.asarray(u),
+                                jnp.asarray(v), jnp.asarray(lod),
+                                nearest_mip=nearest)
+        b = sample_bilinear_lod_arith(
+            tex, jnp.asarray(base_off[tid]), jnp.asarray(w0[tid]),
+            jnp.asarray(h0[tid]), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(lod), nearest_mip=nearest,
+            max_mip=jnp.asarray(max_mip[tid]))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, err_msg=f"nearest={nearest}")

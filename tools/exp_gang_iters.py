@@ -27,7 +27,7 @@ def log(*a):
     print(f"[{time.time()-T0:7.1f}s]", *a, flush=True)
 
 
-z = np.load("/tmp/sponza_wave.npz")
+z = np.load("/tmp/sponza_wave_c12.npz")
 nodes = jnp.asarray(z["nodes"])
 rows = jnp.asarray(z["rows"])
 o = jnp.asarray(z["o"])
